@@ -1,0 +1,222 @@
+"""BC1 / BC2+BC3-colour block encoder (batched jnp).
+
+TPU-first redesign of the reference BCX colour engine
+(amd_bcx_body.cpp: CompRGBABlock :1209-1297, CompressRGBBlockX :937-1182,
+Refine/Refine3D :582-932, Clstr :258-378) and the BC1 packer
+(amd_bcx_helpers.cpp:51-105). Differences by design (SURVEY.md §7 step 3):
+
+  - No unique-colour qsort histogram (a CPU-only optimization; weights Rpt=1
+    give identical math, amd_bcx_body.cpp:1242-1262). All 16 pixels are used.
+  - The reference's ``for(;;)`` axis-refine loop becomes a *fixed* number of
+    (assign -> least-squares refit) iterations (kernels/common.py).
+  - The per-channel +/-step jitter refine (Refine, :582-806) becomes a static
+    candidate sweep in quantized 565 space, evaluated against the *exact
+    integer decode palette* (decode/bcn.py), so the encoder's error model is
+    bit-identical to what a decoder reconstructs.
+  - 3-colour vs 4-colour race (amd_bcx_helpers.cpp:66-90) is a masked select.
+  - Punch-through alpha: pixels with A*255 < threshold are excluded from the
+    fit and forced to index 3 of the 3-colour mode (amd_bcx_body.cpp:1223-1231,
+    :269-270).
+
+Everything is (N, ...)-batched; no per-block Python. ~O(16*4*(iters+candidates))
+VPU flops per block, no data-dependent shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import bitpack
+from ..decode.bcn import expand_565
+from ..options import PERCEPTUAL_WEIGHTS
+from .common import assign_nearest, fit_line_iterative
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+LEVELS4 = (0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0)
+LEVELS3 = (0.0, 0.5, 1.0)
+
+
+def quantize_565(e: jnp.ndarray) -> jnp.ndarray:
+    """Float RGB in 0..255 -> (N, 3) int32 of (5,6,5)-bit components."""
+    r = jnp.clip(jnp.round(e[..., 0] * (31.0 / 255.0)), 0, 31)
+    g = jnp.clip(jnp.round(e[..., 1] * (63.0 / 255.0)), 0, 63)
+    b = jnp.clip(jnp.round(e[..., 2] * (31.0 / 255.0)), 0, 31)
+    return jnp.stack([r, g, b], axis=-1).astype(I32)
+
+
+def expand_q(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) int32 565 components -> (..., 3) int32 8-bit (bit replicate)."""
+    r = (q[..., 0] << 3) | (q[..., 0] >> 2)
+    g = (q[..., 1] << 2) | (q[..., 1] >> 4)
+    b = (q[..., 2] << 3) | (q[..., 2] >> 2)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def palette_from_q(q0: jnp.ndarray, q1: jnp.ndarray,
+                   four: bool) -> jnp.ndarray:
+    """Exact integer decode palette from 565 components.
+
+    (..., 3) x2 -> (..., K, 3) float32; K=4 (4-colour) or 3 (3-colour).
+    Matches decode/bcn.py's rounding exactly.
+    """
+    e0 = expand_q(q0)
+    e1 = expand_q(q1)
+    if four:
+        p2 = (2 * e0 + e1 + 1) // 3
+        p3 = (e0 + 2 * e1 + 1) // 3
+        pal = jnp.stack([e0, e1, p2, p3], axis=-2)
+    else:
+        p2 = (e0 + e1 + 1) // 2
+        pal = jnp.stack([e0, e1, p2], axis=-2)
+    return pal.astype(F32)
+
+
+def _eval_q(pts, mask, q0, q1, four, weights):
+    pal = palette_from_q(q0, q1, four)
+    idx, err = assign_nearest(pts, pal, weights, mask)
+    return idx, err
+
+
+def refine_565(pts, mask, q0, q1, four: bool, weights,
+               passes: int = 1):
+    """Sequential per-channel +/-1 endpoint jitter in 565 space.
+
+    Vectorized analog of Refine (amd_bcx_body.cpp:582-806): for each channel,
+    try the 9 (dlo, dhi) in {-1,0,1}^2 moves, keep the argmin under the exact
+    decode palette. Static unroll: passes * 3 channels * 9 candidates.
+    """
+    maxq = jnp.array([31, 63, 31], I32)
+    _, best_err = _eval_q(pts, mask, q0, q1, four, weights)
+    for _ in range(passes):
+        for ch in range(3):
+            for d0 in (-1, 0, 1):
+                for d1 in (-1, 0, 1):
+                    if d0 == 0 and d1 == 0:
+                        continue
+                    c0 = q0.at[..., ch].set(
+                        jnp.clip(q0[..., ch] + d0, 0, maxq[ch]))
+                    c1 = q1.at[..., ch].set(
+                        jnp.clip(q1[..., ch] + d1, 0, maxq[ch]))
+                    _, err = _eval_q(pts, mask, c0, c1, four, weights)
+                    better = err < best_err
+                    q0 = jnp.where(better[..., None], c0, q0)
+                    q1 = jnp.where(better[..., None], c1, q1)
+                    best_err = jnp.minimum(err, best_err)
+    return q0, q1, best_err
+
+
+def pack_565(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) int32 565 components -> (...,) int32 packed 565 word."""
+    return (q[..., 0] << 11) | (q[..., 1] << 5) | q[..., 2]
+
+
+def _fit_mode(pts, mask, four: bool, weights, iters: int,
+              refine_passes: int):
+    levels = LEVELS4 if four else LEVELS3
+    e0, e1 = fit_line_iterative(pts, mask, levels, iters, weights)
+    q0 = quantize_565(e0)
+    q1 = quantize_565(e1)
+    q0, q1, err = refine_565(pts, mask, q0, q1, four, weights,
+                             passes=refine_passes)
+    idx, err = _eval_q(pts, mask, q0, q1, four, weights)
+    return q0, q1, idx, err
+
+
+@partial(jax.jit, static_argnames=(
+    "use_alpha", "allow_three", "force_four_decode", "refinement_steps",
+    "b3d_refinement", "weights"))
+def encode_bc1_blocks(blocks: jnp.ndarray,
+                      alpha_threshold: jnp.ndarray | float = 0.5,
+                      *,
+                      use_alpha: bool = False,
+                      allow_three: bool = True,
+                      force_four_decode: bool = False,
+                      refinement_steps: int = 1,
+                      b3d_refinement: bool = False,
+                      weights: tuple = PERCEPTUAL_WEIGHTS):
+    """Encode (N, 16, C>=3) float blocks in [0,1] -> ((N, 2) uint32, (N,) err).
+
+    ``force_four_decode``: BC2/BC3 colour-block mode — the decoder always uses
+    4-colour interpolation, endpoint order carries no mode bit.
+    ``allow_three``: race the 3-colour mode (BC1 only).
+    Returned err is the weighted squared error in 0..255 space over opaque
+    pixels (the reference returns the same per-block error and discards it at
+    the image level, SURVEY.md §5 metrics; we keep it as a free output).
+    """
+    pts = blocks[..., :3].astype(F32) * 255.0
+    n = pts.shape[0]
+    w = jnp.asarray(weights, F32)
+    if use_alpha and blocks.shape[-1] >= 4:
+        opaque = (blocks[..., 3] * 255.0 >= alpha_threshold * 255.0)
+        mask = opaque.astype(F32)
+    else:
+        opaque = jnp.ones(pts.shape[:-1], bool)
+        mask = jnp.ones(pts.shape[:-1], F32)
+    has_transparent = jnp.any(~opaque, axis=-1)
+
+    iters = 2 + int(refinement_steps)
+    passes = 2 if b3d_refinement else 1
+
+    q0_4, q1_4, idx4, err4 = _fit_mode(pts, mask, True, w, iters, passes)
+
+    if allow_three:
+        q0_3, q1_3, idx3, err3 = _fit_mode(pts, mask, False, w, iters, passes)
+    else:
+        q0_3, q1_3 = q0_4, q1_4
+        idx3, err3 = idx4, jnp.full((n,), jnp.inf, F32)
+
+    # ---- pack 4-colour: requires packed c0 > c1 (amd_bcx_helpers.cpp:97-100).
+    c0_4 = pack_565(q0_4)
+    c1_4 = pack_565(q1_4)
+    swap4 = c0_4 < c1_4
+    a0_4 = jnp.where(swap4, c1_4, c0_4)
+    a1_4 = jnp.where(swap4, c0_4, c1_4)
+    remap4 = jnp.asarray([1, 0, 3, 2], I32)
+    pidx4 = jnp.where(swap4[:, None], remap4[idx4], idx4)
+    degenerate4 = (a0_4 == a1_4) & (not force_four_decode)
+
+    # ---- pack 3-colour: requires packed c0 <= c1.
+    c0_3 = pack_565(q0_3)
+    c1_3 = pack_565(q1_3)
+    swap3 = c0_3 > c1_3
+    a0_3 = jnp.where(swap3, c1_3, c0_3)
+    a1_3 = jnp.where(swap3, c0_3, c1_3)
+    remap3 = jnp.asarray([1, 0, 2, 3], I32)
+    pidx3 = jnp.where(swap3[:, None], remap3[idx3], idx3)
+    # transparent pixels -> index 3 (amd_bcx_body.cpp:269-270)
+    if use_alpha:
+        pidx3 = jnp.where(opaque, pidx3, 3)
+
+    if force_four_decode:
+        use4 = jnp.ones((n,), bool)
+    elif not allow_three:
+        use4 = ~degenerate4
+    else:
+        use4 = (err4 < err3) & ~degenerate4
+        if use_alpha:
+            use4 = use4 & ~has_transparent
+
+    a0 = jnp.where(use4, a0_4, a0_3)
+    a1 = jnp.where(use4, a1_4, a1_3)
+    pidx = jnp.where(use4[:, None], pidx4, pidx3)
+    err = jnp.where(use4, err4, err3)
+
+    words = bitpack.zeros(n, 2)
+    words = bitpack.field_or(words, a0, 0, 16)
+    words = bitpack.field_or(words, a1, 16, 16)
+    words = bitpack.pack_indices(words, pidx, 32, 2)
+    return words, err
+
+
+def encode_rgb_blocks(blocks, *, refinement_steps=1, b3d_refinement=False,
+                      weights=PERCEPTUAL_WEIGHTS):
+    """BC2/BC3 colour block: always 4-colour decode (Image_CompressAMDRGB
+    SingleModeBlock analog, amd_bcx_helpers.cpp:142-179)."""
+    return encode_bc1_blocks(
+        blocks, use_alpha=False, allow_three=False, force_four_decode=True,
+        refinement_steps=refinement_steps, b3d_refinement=b3d_refinement,
+        weights=weights)

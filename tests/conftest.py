@@ -1,0 +1,76 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set XLA flags before the first jax import (SURVEY.md §4: multi-chip
+tests run the tile-sharding path on a CPU mesh without real TPUs).
+"""
+import os
+
+# Force CPU even when the session env points JAX at the TPU tunnel
+# (JAX_PLATFORMS=axon): unit tests must be hermetic and run the sharding
+# path on 8 virtual CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+# ---- procedural fixtures mirroring the reference test patterns
+# (tests/test_imagecompress.cpp:14-126) ----
+
+def solid_image(h, w, rgba):
+    img = np.zeros((h, w, 4), np.float32)
+    img[:] = np.asarray(rgba, np.float32)
+    return img
+
+
+def gradient_rgba(h, w):
+    """Alpha-gradient RGBA pattern (test_imagecompress.cpp:88-106 analog)."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 4), np.float32)
+    img[..., 0] = x / max(w - 1, 1)
+    img[..., 1] = y / max(h - 1, 1)
+    img[..., 2] = (x + y) / max(h + w - 2, 1)
+    img[..., 3] = x / max(w - 1, 1)
+    return img
+
+
+def checker_rgb(h, w):
+    """RGB checker pattern (test_imagecompress.cpp:50-66 analog)."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 4), np.float32)
+    img[..., 0] = ((x // 4 + y // 4) % 2).astype(np.float32)
+    img[..., 1] = ((x // 8 + y // 8) % 2).astype(np.float32)
+    img[..., 2] = ((x // 2 + y // 2) % 2).astype(np.float32)
+    img[..., 3] = 1.0
+    return img
+
+
+def punch_through(h, w):
+    """Checker with alpha 0/1 squares (test_imagecompress.cpp:68-86 analog)."""
+    img = checker_rgb(h, w)
+    y, x = np.mgrid[0:h, 0:w]
+    img[..., 3] = ((x // 4 + y // 4) % 2).astype(np.float32)
+    return img
+
+
+def noise_rgba(h, w, seed=0):
+    r = np.random.default_rng(seed)
+    return r.random((h, w, 4), dtype=np.float32)
+
+
+def psnr(a, b, peak=255.0):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10.0 * np.log10(peak * peak / mse)
