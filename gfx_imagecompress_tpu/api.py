@@ -1,0 +1,282 @@
+"""Public API: per-format image compressors, dispatcher, codec picker.
+
+TPU-native analog of L4+L3 of the reference:
+  - ImageCompress_Compress / ImageCompress_PickCompressionType
+    (imagecompress.cpp:20-116)
+  - Image_CompressAMDBC1..BC7, Image_CompressRichGel999BC7
+    (amd_bc{1..7}_compressor.cpp, richgel999_bc7enc16.cpp:21-71)
+
+The reference drivers loop blocks on the CPU; here each compressor is
+image -> block tensor -> one batched jit'd encode -> packed uint32 grid.
+There is no Image_CompressInit/Deinit analog: the reference's ~790 MB global
+tables (imagecompress.cpp:6-18, SURVEY.md §5) do not exist in this design —
+ramps are recomputed in-kernel (a few flops) and trace tables are replaced
+by closed-form quantization (SURVEY.md §7 hard part 2).
+
+Progress callbacks: encode is one device launch, so the reference's
+per-row progress/cancel hook (imagecompress.h:5) maps to an optional
+chunked mode — compress_chunked() fires the callback between tile batches
+and honors cancellation between (not within) launches.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from .formats import BlockFormat, CompressType, PickFlags
+from .image import CompressedImage, Image
+from .kernels import bc1 as _bc1
+from .kernels import bc4 as _bc4
+from .options import (AMDBackendOptions, BC1Options, BC6HOptions, BC7Options,
+                      PERCEPTUAL_WEIGHTS, RichGel999Options)
+from .pipeline.blocks import image_to_blocks, packed_to_grid
+
+ProgressFunc = Callable[[float], bool]  # returns True to cancel
+
+
+def _grid(img: Image, words, wpb: int):
+    return packed_to_grid(words, img.slices, img.height, img.width, wpb)
+
+
+def compress_amd_bc1(src: Image,
+                     amd_options: Optional[AMDBackendOptions] = None,
+                     options: Optional[BC1Options] = None) -> CompressedImage:
+    """Image_CompressAMDBC1 analog (amd_bc1_compressor.cpp:11-101)."""
+    amd = amd_options or AMDBackendOptions()
+    opt = options or BC1Options()
+    blocks = image_to_blocks(src.data)
+    use_alpha = opt.use_alpha and src.channels >= 4
+    words, _ = _bc1.encode_bc1_blocks(
+        blocks, alpha_threshold=opt.alpha_threshold / 255.0,
+        use_alpha=use_alpha,
+        refinement_steps=amd.refinement_steps,
+        b3d_refinement=amd.b3d_refinement,
+        weights=_weights(amd, blocks))
+    fmt = BlockFormat.BC1_SRGB if src.srgb else BlockFormat.BC1_UNORM
+    return CompressedImage(_grid(src, words, 2), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_amd_bc2(src: Image,
+                     amd_options: Optional[AMDBackendOptions] = None
+                     ) -> CompressedImage:
+    """Image_CompressAMDBC2 analog: explicit 4-bit alpha + RGB block
+    (amd_bc2_compressor.cpp:41-46)."""
+    amd = amd_options or AMDBackendOptions()
+    blocks = image_to_blocks(src.data)
+    cw, _ = _bc1.encode_rgb_blocks(
+        blocks, refinement_steps=amd.refinement_steps,
+        b3d_refinement=amd.b3d_refinement, weights=_weights(amd, blocks))
+    aw, _ = _bc4.encode_bc2_alpha_blocks(_alpha_channel(blocks))
+    words = jnp.concatenate([aw, cw], axis=1)  # alpha block first (64+64 bit)
+    fmt = BlockFormat.BC2_SRGB if src.srgb else BlockFormat.BC2_UNORM
+    return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_amd_bc3(src: Image,
+                     amd_options: Optional[AMDBackendOptions] = None
+                     ) -> CompressedImage:
+    """Image_CompressAMDBC3 analog: interpolated alpha + RGB block
+    (amd_bc3_compressor.cpp:41-46)."""
+    amd = amd_options or AMDBackendOptions()
+    blocks = image_to_blocks(src.data)
+    cw, _ = _bc1.encode_rgb_blocks(
+        blocks, refinement_steps=amd.refinement_steps,
+        b3d_refinement=amd.b3d_refinement, weights=_weights(amd, blocks))
+    aw, _ = _bc4.encode_bc4_blocks(_alpha_channel(blocks))
+    words = jnp.concatenate([aw, cw], axis=1)
+    fmt = BlockFormat.BC3_SRGB if src.srgb else BlockFormat.BC3_UNORM
+    return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_amd_bc4(src: Image) -> CompressedImage:
+    """Image_CompressAMDBC4 analog.
+
+    NOTE: the reference samples channel 1 (G) due to a bug
+    (amd_bc4_compressor.cpp:34-37, SURVEY.md §7 "bugs to not replicate");
+    we sample channel 0 (R) per the BC4 format contract.
+    """
+    blocks = image_to_blocks(src.data)
+    words, _ = _bc4.encode_bc4_blocks(blocks[:, :, 0])
+    fmt = BlockFormat.BC4_SNORM if src.signed else BlockFormat.BC4_UNORM
+    return CompressedImage(_grid(src, words, 2), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_amd_bc5(src: Image) -> CompressedImage:
+    """Image_CompressAMDBC5 analog: channels 0,1 -> two scalar blocks
+    (amd_bc5_compressor.cpp:35-41)."""
+    blocks = image_to_blocks(src.data)
+    rw, _ = _bc4.encode_bc4_blocks(blocks[:, :, 0])
+    gw, _ = _bc4.encode_bc4_blocks(blocks[:, :, 1])
+    words = jnp.concatenate([rw, gw], axis=1)
+    fmt = BlockFormat.BC5_SNORM if src.signed else BlockFormat.BC5_UNORM
+    return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_amd_bc6h(src: Image,
+                      amd_options: Optional[AMDBackendOptions] = None
+                      ) -> CompressedImage:
+    """Image_CompressAMDBC6H analog (amd_bc6h_compressor.cpp:10-90).
+
+    The reference has an argument-order bug that drops the mode mask
+    (amd_bc6h_compressor.cpp:28); here the mask is honored.
+    """
+    from .kernels import bc6h as _bc6h
+    amd = amd_options or AMDBackendOptions()
+    blocks = image_to_blocks(src.data)
+    words, _ = _bc6h.encode_bc6h_blocks(
+        blocks[:, :, :3], signed=src.signed, mode_mask=amd.mode_mask)
+    fmt = (BlockFormat.BC6H_SFLOAT if src.signed
+           else BlockFormat.BC6H_UFLOAT)
+    return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_amd_bc7(src: Image,
+                     amd_options: Optional[AMDBackendOptions] = None,
+                     bc7_options: Optional[BC7Options] = None
+                     ) -> CompressedImage:
+    """Image_CompressAMDBC7 analog (amd_bc7_compressor.cpp:25-112): full
+    multi-mode search at quality 1.0 defaults."""
+    from .kernels import bc7_full as _bc7
+    amd = amd_options or AMDBackendOptions()
+    opt = bc7_options or BC7Options(mode_mask=amd.mode_mask)
+    blocks = image_to_blocks(src.data)
+    has_alpha = src.channels >= 4
+    words, _ = _bc7.encode_bc7_blocks(
+        _rgba(blocks), quality=opt.quality, mode_mask=opt.mode_mask,
+        src_has_alpha=has_alpha)
+    fmt = BlockFormat.BC7_SRGB if src.srgb else BlockFormat.BC7_UNORM
+    return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress_richgel999_bc7(src: Image,
+                            options: Optional[RichGel999Options] = None
+                            ) -> CompressedImage:
+    """Image_CompressRichGel999BC7 analog (richgel999_bc7enc16.cpp:21-71):
+    fast BC7 restricted to modes 1 and 6."""
+    from .kernels import bc7_fast as _bc7f
+    opt = options or RichGel999Options()
+    blocks = image_to_blocks(src.data)
+    words, _ = _bc7f.encode_bc7_fast_blocks(
+        _rgba(blocks), fast=opt.fast, perceptual=opt.perceptual)
+    fmt = BlockFormat.BC7_SRGB if src.srgb else BlockFormat.BC7_UNORM
+    return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
+                           src.slices)
+
+
+def compress(ctype: CompressType, src: Image,
+             fast: bool = False) -> Optional[CompressedImage]:
+    """ImageCompress_Compress analog (imagecompress.cpp:20-50).
+
+    ``fast`` selects the bc7enc16-style path for BC7. Unimplemented codecs
+    (ETC/ASTC — stubs in the reference too, imagecompress.cpp:40-44) return
+    None.
+    """
+    if ctype == CompressType.DXBC1:
+        return compress_amd_bc1(src)
+    if ctype == CompressType.DXBC2:
+        return compress_amd_bc2(src)
+    if ctype == CompressType.DXBC3:
+        return compress_amd_bc3(src)
+    if ctype == CompressType.DXBC4:
+        return compress_amd_bc4(src)
+    if ctype == CompressType.DXBC5:
+        return compress_amd_bc5(src)
+    if ctype == CompressType.DXBC6H:
+        return compress_amd_bc6h(src)
+    if ctype == CompressType.DXBC7:
+        if fast:
+            return compress_richgel999_bc7(src)
+        return compress_amd_bc7(src)
+    return None
+
+
+def pick_compression_type(flags: PickFlags, src: Image) -> CompressType:
+    """ImageCompress_PickCompressionType analog — pure policy
+    (imagecompress.cpp:52-116): float sources -> BC6H; 1 channel -> BC4;
+    2 -> BC5; RGB(A) -> BC7 if allowed, else ASTC, else BC3/BC1 by alpha."""
+    if src.hdr:
+        if flags & PickFlags.ALLOW_DXBC6AND7:
+            return CompressType.DXBC6H
+        return CompressType.NONE
+    ch = src.channels
+    if ch == 1:
+        if flags & PickFlags.ALLOW_DXBC1TO5:
+            return CompressType.DXBC4
+        return CompressType.NONE
+    if ch == 2:
+        if flags & PickFlags.ALLOW_DXBC1TO5:
+            return CompressType.DXBC5
+        return CompressType.NONE
+    if flags & PickFlags.ALLOW_DXBC6AND7:
+        return CompressType.DXBC7
+    if flags & PickFlags.ALLOW_ASTC:
+        return CompressType.ASTC
+    if flags & PickFlags.ALLOW_DXBC1TO5:
+        if ch == 4:
+            return CompressType.DXBC3
+        return CompressType.DXBC1
+    return CompressType.NONE
+
+
+def compress_chunked(ctype: CompressType, src: Image,
+                     progress: Optional[ProgressFunc] = None,
+                     rows_per_chunk: int = 64,
+                     fast: bool = False) -> Optional[CompressedImage]:
+    """Progress-callback variant: encodes row-bands of blocks and fires
+    ``progress(percent)`` between launches; returning True cancels and
+    yields None (reference cancellation contract,
+    amd_bc1_compressor.cpp:64-68)."""
+    import numpy as np
+
+    h = src.height
+    chunks = []
+    done = 0
+    for y0 in range(0, h, rows_per_chunk):
+        band = Image(data=src.data[:, y0:min(y0 + rows_per_chunk, h)],
+                     srgb=src.srgb, signed=src.signed, hdr=src.hdr)
+        out = compress(ctype, band, fast=fast)
+        if out is None:
+            return None
+        chunks.append(out)
+        done = min(y0 + rows_per_chunk, h)
+        if progress is not None and progress(100.0 * done / h):
+            return None
+    blocks = jnp.concatenate([c.blocks for c in chunks], axis=1)
+    return CompressedImage(blocks, chunks[0].format, src.width, src.height,
+                           src.slices)
+
+
+def _weights(amd: AMDBackendOptions, blocks) -> tuple:
+    """Perceptual channel weights; the adaptive path is computed per-image
+    (mean-luma skew) — a *fixed* correct version of the broken per-block
+    adaptive path (block_utils.cpp:176-211, reads uninitialized memory)."""
+    if not amd.adaptive_colour_weights:
+        return PERCEPTUAL_WEIGHTS
+    import numpy as np
+    m = np.asarray(jnp.mean(blocks[..., :3], axis=(0, 1)))
+    largest = float(max(m.max(), 1e-6))
+    skew = m / largest
+    w = np.asarray(PERCEPTUAL_WEIGHTS) * (3.0 * skew + 1.0) * 0.25
+    w = w / w.sum()
+    return tuple(float(x) for x in w)
+
+
+def _alpha_channel(blocks):
+    if blocks.shape[-1] >= 4:
+        return blocks[:, :, 3]
+    return jnp.ones_like(blocks[:, :, 0])
+
+
+def _rgba(blocks):
+    if blocks.shape[-1] >= 4:
+        return blocks[:, :, :4]
+    pad = jnp.ones_like(blocks[:, :, :1])
+    return jnp.concatenate([blocks[:, :, :3], pad], axis=-1)
