@@ -67,6 +67,23 @@ def noise_rgba(h, w, seed=0):
     return r.random((h, w, 4), dtype=np.float32)
 
 
+def photo_rgba(h, w, seed=0, noise=0.015):
+    """Photo-like content: smooth multi-frequency fields + mild noise.
+
+    Uniform random noise is a worst case no BCn codec handles well (a 4x4
+    noise block has no low-rank structure); quality thresholds in tests use
+    this fixture instead."""
+    r = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        np.sin(x * 0.21 + y * 0.07) * 0.4 + 0.5,
+        np.sin(x * 0.05 + 1.0) * np.cos(y * 0.11) * 0.35 + 0.5,
+        np.sin((x + y) * 0.13 + 2.0) * 0.3 + 0.45,
+        np.ones_like(x)], axis=-1)
+    img[..., :3] += r.normal(0, noise, (h, w, 3)).astype(np.float32)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 def psnr(a, b, peak=255.0):
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
