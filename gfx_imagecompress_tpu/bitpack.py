@@ -73,3 +73,66 @@ def extract_indices(words: jnp.ndarray, start: int,
 
 def zeros(n: int, words_per_block: int) -> jnp.ndarray:
     return jnp.zeros((n, words_per_block), dtype=U32)
+
+
+class Sink:
+    """Column-based block builder: W independent (N,) uint32 accumulators.
+
+    ``field_or`` on an (N, W) array lowers to per-column scatters
+    (``.at[:, w].set``); hundreds of those (BC6H packs ~70 fields x 14
+    modes) explode XLA compile time. Keeping each word as its own vector
+    makes every field write a plain OR — no scatters anywhere — and a
+    single stack at the end.
+    """
+
+    def __init__(self, n: int, words_per_block: int):
+        self.cols = [jnp.zeros((n,), U32) for _ in range(words_per_block)]
+
+    def put(self, value: jnp.ndarray, start: int, nbits: int) -> "Sink":
+        assert 0 < nbits <= 32
+        v = value.astype(U32) & mask(nbits)
+        w, off = divmod(start, 32)
+        self.cols[w] = self.cols[w] | (v << U32(off)).astype(U32)
+        if off + nbits > 32:
+            self.cols[w + 1] = self.cols[w + 1] | (
+                v >> U32(32 - off)).astype(U32)
+        return self
+
+    def put_indices(self, indices: jnp.ndarray, start: int,
+                    bits_per_index: int) -> "Sink":
+        for i in range(16):
+            self.put(indices[:, i], start + i * bits_per_index,
+                     bits_per_index)
+        return self
+
+    def put_dyn(self, value: jnp.ndarray, offset: jnp.ndarray,
+                nbits: jnp.ndarray | int) -> "Sink":
+        """OR a field at a per-block dynamic bit offset (anchor-dependent
+        index fields). Pure vector selects on the columns — no scatters."""
+        nb = jnp.asarray(nbits, U32)
+        m = jnp.where(nb >= 32, U32(0xFFFFFFFF),
+                      (_shl(jnp.ones_like(nb, U32), nb) - U32(1)))
+        v = value.astype(U32) & m
+        widx = (offset // 32).astype(jnp.int32)
+        sh = (offset % 32).astype(U32)
+        lo = _shl(v, sh)
+        hi = _shr(v, U32(32) - sh)
+        for i in range(len(self.cols)):
+            add = jnp.where(widx == i, lo, U32(0))
+            if i > 0:
+                add = add | jnp.where(widx == i - 1, hi, U32(0))
+            self.cols[i] = self.cols[i] | add
+        return self
+
+    def words(self) -> jnp.ndarray:
+        return jnp.stack(self.cols, axis=1)
+
+
+def _shl(v: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    s_ok = jnp.minimum(s, U32(31))
+    return jnp.where(s >= 32, U32(0), (v << s_ok).astype(U32))
+
+
+def _shr(v: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    s_ok = jnp.minimum(s, U32(31))
+    return jnp.where(s >= 32, U32(0), (v >> s_ok).astype(U32))

@@ -1,0 +1,74 @@
+"""Multi-chip sharded encoding.
+
+The reference is single-threaded (SURVEY.md §2 parallelism inventory: its
+only concurrency structure is the per-block independence of the L3 loop).
+Here that independence becomes the distribution axis: blocks never read
+neighbours (edge clamp is intra-block, block_utils.cpp:7-41), so sharding
+the block axis across a `jax.sharding.Mesh` needs **zero communication**
+during encode — collectives appear only to (a) all-gather the packed words
+for host assembly and (b) psum per-image squared error into a global MSE.
+Shardings ride ICI within a slice; on multi-host pods the same code runs
+under `jax.distributed` with DCN crossing only at the final gather
+(SURVEY.md §5 "distributed communication backend").
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_name: str = "b") -> Mesh:
+    """1-D data mesh over the block axis."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, (axis_name,))
+
+
+def pad_to_multiple(blocks: jnp.ndarray, mult: int):
+    """Pad the block axis to a multiple of the mesh size (replicating block 0
+    keeps every lane's content valid); returns (padded, original_n)."""
+    n = blocks.shape[0]
+    rem = (-n) % mult
+    if rem == 0:
+        return blocks, n
+    pad = jnp.broadcast_to(blocks[:1], (rem,) + blocks.shape[1:])
+    return jnp.concatenate([blocks, pad], axis=0), n
+
+
+def shard_encode(encode_fn: Callable, blocks: jnp.ndarray, mesh: Mesh,
+                 axis_name: str = "b"):
+    """Run a batched block encoder sharded over the mesh.
+
+    ``encode_fn(blocks) -> (words, err)`` is any kernel from kernels/.
+    Returns (words (N,W), err (N,), mse_scalar) with words/err sharded and
+    ``mse_scalar`` the psum-reduced global mean squared error — the metric
+    the reference computes per block and discards (SURVEY.md §5).
+    """
+    nd = mesh.devices.size
+    padded, n = pad_to_multiple(blocks, nd)
+    sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    padded = jax.device_put(padded, sharding)
+
+    @partial(jax.jit, out_shardings=(sharding, sharding, replicated))
+    def run(x):
+        words, err = encode_fn(x)
+        # psum across the sharded axis: XLA lowers this jnp.sum over a
+        # sharded operand to an AllReduce over ICI
+        total = jnp.sum(err)
+        return words, err, total
+
+    words, err, total = run(padded)
+    mse = total / (blocks.shape[0] * blocks.shape[1])
+    return words[:n], err[:n], mse
+
+
+def gather_words(words: jnp.ndarray) -> np.ndarray:
+    """All-gather the packed block stream to the host (deterministic
+    block->shard mapping means assembly is a plain reshape, SURVEY.md §5)."""
+    return np.asarray(jax.device_get(words))

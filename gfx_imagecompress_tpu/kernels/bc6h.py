@@ -1,0 +1,345 @@
+"""BC6H HDR encoder (batched jnp, signed + unsigned).
+
+TPU-first redesign of BC6HBlockEncoder::CompressBlock
+(amd_bc6h_body.cpp:1521-1651): the reference runs FindBestPattern over the
+1-region case and all 32 2-region shapes with a 4000-try float quantizer
+(optQuantAnD_f, amd_hdr_encode.cpp:1427), then EncodePattern sweeps the
+candidate modes with a delta-transform losslessness gate. Here:
+
+  - shape search     -> one float line-fit per (shape, subset) in the
+    *unquantized work domain* (u = half-bits * 64/31, the exact inverse of
+    finish_unquantizeF16's 31/64 scaling, bc6h:1039-1049), ranked by fit
+    residual, top-K shapes kept (the FindBestPattern running-best,
+    bc6h:1593-1632, as a static top-k);
+  - mode sweep       -> every enabled mode evaluated on the kept shapes;
+    transformed modes apply the integer delta-fit predicate (endpts_fit,
+    bc6h:493-507) and are masked out on overflow; untransformed modes
+    10 / 11 always fit, so a valid encoding always exists (the reference's
+    solid-red fallback, bc6h:118, becomes unreachable);
+  - quantize         -> closed-form: q = (u * 2^prec + 0x8000) >> 16 (and
+    the signed/magnitude variant), no search tables;
+  - error metric     -> exact integer decode pipeline (unquantize ->
+    palette -> finish) in half-bit space, matching decode/bc6h.py bit-for-bit.
+
+The mode-mask option is honoured (the reference drops it via an
+argument-order bug, amd_bc6h_compressor.cpp:28 — documented, not copied).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bitpack
+from ..decode.bc6h import _finish, _unquantize
+from ..tables.bc6h_tables import (BC6H_MODES, LAYOUTS, ONE_REGION_INDEX_BIT,
+                                  TWO_REGION_INDEX_BIT, TWO_REGION_SHAPE_BIT)
+from ..tables.bc7_tables import (ANCHOR2, WEIGHTS3, WEIGHTS4, partition_table)
+from .common import fit_line_iterative
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+LEVELS3 = tuple(w / 64.0 for w in WEIGHTS3)
+LEVELS4 = tuple(w / 64.0 for w in WEIGHTS4)
+
+# distinct subset-1 anchor pixels across the 32 two-region shapes
+_ANCHOR_CLASSES = (2, 8, 15)
+
+
+def f32_to_half_int(x: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """float32 -> int32 half representation.
+
+    unsigned: half bits clamped to [0, 0x7BFF] (negatives -> 0);
+    signed: sign * magnitude-bits, magnitude clamped to 0x7BFF
+    (the float->half conversion of bc6h:1539-1573)."""
+    h = jax.lax.bitcast_convert_type(
+        jnp.clip(x, -65504.0, 65504.0).astype(jnp.float16),
+        jnp.uint16).astype(I32)
+    mag = h & 0x7FFF
+    neg = (h & 0x8000) != 0
+    if signed:
+        return jnp.where(neg, -mag, mag)
+    return jnp.where(neg, 0, mag)
+
+
+def _to_work(h: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """half-int -> float work domain (inverse of finish: * 64/31 or 32/31)."""
+    if signed:
+        return h.astype(F32) * (32.0 / 31.0)
+    return h.astype(F32) * (64.0 / 31.0)
+
+
+def _quantize(u: jnp.ndarray, prec: int, signed: bool) -> jnp.ndarray:
+    """Work-domain float endpoint -> prec-bit signed/unsigned field value."""
+    if not signed:
+        uq = jnp.clip(jnp.round(u), 0, 0xFFFF).astype(I32)
+        if prec >= 15:
+            return jnp.clip(uq, 0, (1 << prec) - 1)
+        return jnp.clip((uq * (1 << prec) + 0x8000) >> 16, 0,
+                        (1 << prec) - 1)
+    uq = jnp.clip(jnp.round(u), -0x7FFF, 0x7FFF).astype(I32)
+    if prec >= 16:
+        return uq
+    mx = (1 << (prec - 1)) - 1
+    mag = jnp.abs(uq)
+    q = jnp.clip((mag * (1 << (prec - 1)) + 0x4000) >> 15, 0, mx)
+    return jnp.where(uq < 0, -q, q)
+
+
+def _palette_err(h_pts, mask, q0, q1, prec, signed, index_bits: int):
+    """Exact decode-path palette evaluation.
+
+    h_pts (N,16,3) half-int targets; q0/q1 (N,3) quantized endpoints.
+    Returns (err (N,), idx (N,16)). Error = squared diff in half-int space.
+    """
+    u0 = _unquantize(q0, prec, signed)[:, None, :]        # (N,1,3)
+    u1 = _unquantize(q1, prec, signed)[:, None, :]
+    wt = jnp.asarray(WEIGHTS3 if index_bits == 3 else WEIGHTS4, I32)
+    k = wt.shape[0]
+    v = (u0[:, :, None] * (64 - wt)[None, None, :, None]
+         + u1[:, :, None] * wt[None, None, :, None] + 32) >> 6   # (N,1,K,3)
+    pal = _finish(v, signed)[:, 0]                         # (N,K,3)
+    # compare in signed-magnitude-decoded integer space
+    if signed:
+        dec = jnp.where(pal >= 0x8000, -(pal & 0x7FFF), pal)
+        tgt = h_pts
+    else:
+        dec = pal
+        tgt = h_pts
+    d = tgt[:, :, None, :].astype(F32) - dec[:, None, :, :].astype(F32)
+    dist = jnp.sum(d * d, axis=-1)                         # (N,16,K)
+    idx = jnp.argmin(dist, axis=-1).astype(I32)
+    err = jnp.sum(jnp.min(dist, axis=-1) * mask, axis=-1)
+    return err, idx
+
+
+def _delta_ok(d: jnp.ndarray, bits: int) -> jnp.ndarray:
+    lo = -(1 << (bits - 1))
+    hi = (1 << (bits - 1)) - 1
+    return (d >= lo) & (d <= hi)
+
+
+
+def _eval_mode_two(h_pts, u_pts, m, shape, sub, e, signed):
+    """Evaluate a 2-region mode for a chosen shape.
+
+    e = (e0s0, e1s0, e0s1, e1s1) float endpoints in work domain.
+    Returns (err, q (N,4,3), idx (N,16)) with err=inf where deltas overflow.
+    """
+    n = h_pts.shape[0]
+    prec = m.base_bits
+    q = [_quantize(x, prec, signed) for x in e]            # 4 x (N,3)
+    mask0 = (sub == 0).astype(F32)
+    mask1 = (sub == 1).astype(F32)
+    err0, idx0 = _palette_err(h_pts, mask0, q[0], q[1], prec, signed, 3)
+    err1, idx1 = _palette_err(h_pts, mask1, q[2], q[3], prec, signed, 3)
+    err = err0 + err1
+    idx = jnp.where(sub == 0, idx0, idx1)
+    # anchor swap BEFORE the delta-fit gate: swapping negates deltas, and
+    # the two's-complement range is asymmetric (reference order:
+    # SwapIndices -> TransformEndPoints -> endpts_fit, bc6h:1393-1440)
+    qs, idx, _, _ = _swap_for_anchors(m, shape, jnp.stack(q, 1), idx)
+    if m.transformed:
+        ok = jnp.ones((n,), bool)
+        for j in (1, 2, 3):
+            d = qs[:, j] - qs[:, 0]
+            for c in range(3):
+                ok = ok & _delta_ok(d[:, c], m.delta_bits[c])
+        err = jnp.where(ok, err, jnp.inf)
+    return err, qs, idx
+
+
+def _eval_mode_one(h_pts, u_pts, m, e0, e1, signed):
+    n = h_pts.shape[0]
+    prec = m.base_bits
+    q0 = _quantize(e0, prec, signed)
+    q1 = _quantize(e1, prec, signed)
+    mask = jnp.ones((n, 16), F32)
+    err, idx = _palette_err(h_pts, mask, q0, q1, prec, signed, 4)
+    qs, idx, _, _ = _swap_for_anchors(
+        m, jnp.zeros((n,), I32), jnp.stack([q0, q1, q0, q1], 1), idx)
+    if m.transformed:
+        ok = jnp.ones((n,), bool)
+        d = qs[:, 1] - qs[:, 0]
+        for c in range(3):
+            ok = ok & _delta_ok(d[:, c], m.delta_bits[c])
+        err = jnp.where(ok, err, jnp.inf)
+    return err, qs, idx
+
+
+def _pack(mode_sel, shape, q, idx, signed):
+    """Pack chosen per-block (mode, shape, endpoints, indices).
+
+    mode_sel (N,) index into BC6H_MODES; q (N,4,3); idx (N,16).
+    Builds every mode's block and selects — uniform and branch-free.
+    """
+    n = mode_sel.shape[0]
+    out = bitpack.zeros(n, 4)
+    for mi, m in enumerate(BC6H_MODES):
+        words = _pack_mode(m, shape, q, idx, signed)
+        out = jnp.where((mode_sel == mi)[:, None], words, out)
+    return out
+
+
+def _swap_for_anchors(m, shape, q, idx):
+    """Ensure anchor indices have MSB 0 (SwapIndices analog, bc6h:555-596):
+    swap the subset's endpoints and complement its indices."""
+    n = shape.shape[0]
+    if m.regions == 2:
+        ptab = jnp.asarray(partition_table(2)[:32])
+        sub = ptab[shape]
+        anchor1 = jnp.asarray(ANCHOR2, I32)[shape]
+        ibits = 3
+    else:
+        sub = jnp.zeros((n, 16), I32)
+        anchor1 = None
+        ibits = 4
+    comp = (1 << ibits) - 1
+    msb = 1 << (ibits - 1)
+    # subset 0 anchor = pixel 0
+    need0 = (idx[:, 0] & msb) != 0
+    idx = jnp.where(need0[:, None] & (sub == 0), comp - idx, idx)
+    sw = need0[:, None, None]
+    q = q.at[:, 0].set(jnp.where(sw[:, 0], q[:, 1], q[:, 0])).at[:, 1].set(
+        jnp.where(sw[:, 0], q[:, 0], q[:, 1]))
+    if m.regions == 2:
+        a1 = jnp.take_along_axis(idx, anchor1[:, None], axis=1)[:, 0]
+        need1 = (a1 & msb) != 0
+        idx = jnp.where(need1[:, None] & (sub == 1), comp - idx, idx)
+        sw1 = need1[:, None]
+        q2, q3 = q[:, 2], q[:, 3]
+        q = q.at[:, 2].set(jnp.where(sw1, q3, q2)).at[:, 3].set(
+            jnp.where(sw1, q2, q3))
+    return q, idx, sub, anchor1
+
+
+def _pack_mode(m, shape, q, idx, signed):
+    """Pack one mode; ``q``/``idx`` are already anchor-swapped by the eval
+    stage (swap must precede the delta-fit gate)."""
+    n = shape.shape[0]
+    anchor1 = jnp.asarray(ANCHOR2, I32)[shape] if m.regions == 2 else None
+    prec = m.base_bits
+    pmask = (1 << prec) - 1
+    fields = {}
+    for i, ch in enumerate(("r", "g", "b")):
+        fields[ch + "w"] = q[:, 0, i] & pmask
+        dmask = (1 << m.delta_bits[i]) - 1
+        for j, suff in ((1, "x"), (2, "y"), (3, "z")):
+            if m.transformed:
+                fields[ch + suff] = (q[:, j, i] - q[:, 0, i]) & dmask
+            else:
+                fields[ch + suff] = q[:, j, i] & dmask
+    sink = bitpack.Sink(n, 4)
+    sink.put(jnp.full((n,), m.code, I32), 0, m.code_bits)
+    for field, src, dst, nbits in LAYOUTS[m.mode]:
+        piece = (fields[field] >> src) & ((1 << nbits) - 1)
+        sink.put(piece, dst, nbits)
+    if m.regions == 2:
+        sink.put(shape, TWO_REGION_SHAPE_BIT, 5)
+        # the subset-1 anchor of the 32 shapes is always 2, 8 or 15
+        # (g_indexfixups, amd_bc6h_body.hpp:210-220): pack with three
+        # STATIC layouts and select — no dynamic-offset insertion
+        for a in _ANCHOR_CLASSES:
+            cls = bitpack.Sink(n, 4)
+            pos = TWO_REGION_INDEX_BIT
+            for i in range(16):
+                wbits = 2 if i in (0, a) else 3
+                cls.put(idx[:, i], pos, wbits)
+                pos += wbits
+            match = anchor1 == a
+            for w in range(4):
+                sink.cols[w] = jnp.where(match, sink.cols[w] | cls.cols[w],
+                                         sink.cols[w])
+    else:
+        pos = ONE_REGION_INDEX_BIT
+        sink.put(idx[:, 0], pos, 3)
+        pos += 3
+        for i in range(1, 16):
+            sink.put(idx[:, i], pos, 4)
+            pos += 4
+    return sink.words()
+
+
+def _budgets(quality: float):
+    if quality <= 0.3:
+        return 2, 1   # topk shapes, fit iters
+    if quality <= 0.7:
+        return 3, 2
+    return 4, 2
+
+
+@partial(jax.jit, static_argnames=("signed", "mode_mask", "quality"))
+def encode_bc6h_blocks(blocks: jnp.ndarray, *, signed: bool = False,
+                       mode_mask: int = 0xFFFF, quality: float = 1.0):
+    """Encode (N,16,3) float32 HDR blocks -> ((N,4) uint32, (N,) err).
+
+    ``mode_mask``: bit (m-1) enables AMD-numbered mode m (1..14).
+    err is the squared error in half-int space (the decode-exact metric).
+    """
+    n = blocks.shape[0]
+    h_pts = f32_to_half_int(blocks, signed)                # (N,16,3)
+    u_pts = _to_work(h_pts, signed)
+    topk, iters = _budgets(quality)
+
+    # ---- shape ranking: one vectorized bounds-axis estimate over all 32
+    # shapes (BC6H shapes ARE the first 32 2-subset BC7 partitions), then
+    # exact PCA+LSQ fits only for the top-K shapes ----
+    from .bc7_full import _estimate_partitions_vec
+    ptab = partition_table(2)[:32]
+    est = _estimate_partitions_vec(u_pts, 2, tuple(range(32)), 8)  # (N,32)
+    _, top_shapes = jax.lax.top_k(-est, topk)              # (N,K)
+    ptab_all = jnp.asarray(ptab)
+    fits_k = []
+    ones3 = jnp.asarray((1.0, 1.0, 1.0), F32)
+    for k in range(topk):
+        sub_k = ptab_all[top_shapes[:, k]]                 # (N,16)
+        m0 = (sub_k == 0).astype(F32)
+        m1 = (sub_k == 1).astype(F32)
+        e00, e01 = fit_line_iterative(u_pts, m0, LEVELS3, iters, ones3)
+        e10, e11 = fit_line_iterative(u_pts, m1, LEVELS3, iters, ones3)
+        fits_k.append((e00, e01, e10, e11))
+
+    # ---- 1-region fit ----
+    ones = jnp.ones((n, 16), F32)
+    e0_1r, e1_1r = fit_line_iterative(
+        u_pts, ones, LEVELS4, iters, jnp.asarray((1.0, 1.0, 1.0), F32))
+
+    best_err = jnp.full((n,), jnp.inf, F32)
+    best_mode = jnp.zeros((n,), I32)
+    best_shape = jnp.zeros((n,), I32)
+    best_q = jnp.zeros((n, 4, 3), I32)
+    best_idx = jnp.zeros((n, 16), I32)
+
+    ptab_j = jnp.asarray(ptab)
+    for mi, m in enumerate(BC6H_MODES):
+        if not (mode_mask >> (m.mode - 1)) & 1:
+            continue
+        if m.regions == 2:
+            for k in range(topk):
+                shape = top_shapes[:, k]
+                sub = ptab_j[shape]
+                e = list(fits_k[k])
+                err, q, idx = _eval_mode_two(h_pts, u_pts, m, shape, sub, e,
+                                             signed)
+                better = err < best_err
+                best_err = jnp.minimum(err, best_err)
+                best_mode = jnp.where(better, mi, best_mode)
+                best_shape = jnp.where(better, shape, best_shape)
+                best_q = jnp.where(better[:, None, None], q, best_q)
+                best_idx = jnp.where(better[:, None], idx, best_idx)
+        else:
+            err, q, idx = _eval_mode_one(h_pts, u_pts, m, e0_1r, e1_1r,
+                                         signed)
+            better = err < best_err
+            best_err = jnp.minimum(err, best_err)
+            best_mode = jnp.where(better, mi, best_mode)
+            best_shape = jnp.where(better, 0, best_shape)
+            best_q = jnp.where(better[:, None, None], q, best_q)
+            best_idx = jnp.where(better[:, None], idx, best_idx)
+
+    words = _pack(best_mode, best_shape, best_q, best_idx, signed)
+    return words, best_err
+

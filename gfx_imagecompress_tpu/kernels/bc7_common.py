@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .. import bitpack
-from ..bitpack_dyn import insert_dyn
 from ..decode.bc7 import _index_offsets, interpolate
 from ..tables.bc7_tables import BC7Mode, WEIGHTS_BY_BITS
 
@@ -117,35 +116,34 @@ def pack_single(mode: BC7Mode, partition, q0, q1, pb0, pb1, idx):
     else:
         q0, q1 = qq0, qq1
 
-    words = bitpack.zeros(n, 4)
-    words = bitpack.field_or(words, jnp.full((n,), 1 << mode.mode, I32),
-                             0, mode.mode + 1)
+    sink = bitpack.Sink(n, 4)
+    sink.put(jnp.full((n,), 1 << mode.mode, I32), 0, mode.mode + 1)
     pos = mode.mode + 1
     if mode.partition_bits:
-        words = bitpack.field_or(words, partition, pos, mode.partition_bits)
+        sink.put(partition, pos, mode.partition_bits)
         pos += mode.partition_bits
     chans = q0.shape[-1]
     for c in range(chans):
         bits = mode.colour_bits if c < 3 else mode.alpha_bits
         for s in range(s_count):
-            words = bitpack.field_or(words, q0[:, s, c], pos, bits)
+            sink.put(q0[:, s, c], pos, bits)
             pos += bits
-            words = bitpack.field_or(words, q1[:, s, c], pos, bits)
+            sink.put(q1[:, s, c], pos, bits)
             pos += bits
     if mode.pbit_mode == "per_endpoint":
         for s in range(s_count):
-            words = bitpack.field_or(words, pb0[:, s], pos, 1)
+            sink.put(pb0[:, s], pos, 1)
             pos += 1
-            words = bitpack.field_or(words, pb1[:, s], pos, 1)
+            sink.put(pb1[:, s], pos, 1)
             pos += 1
     elif mode.pbit_mode == "shared":
         for s in range(s_count):
-            words = bitpack.field_or(words, pb0[:, s], pos, 1)
+            sink.put(pb0[:, s], pos, 1)
             pos += 1
     offs, widths, _ = _index_offsets(partition, s_count, mode.index_bits, pos)
     for i in range(16):
-        words = insert_dyn(words, idx[:, i], offs[:, i], widths[:, i])
-    return words
+        sink.put_dyn(idx[:, i], offs[:, i], widths[:, i])
+    return sink.words()
 
 
 def pack_dual(mode: BC7Mode, rotation, idx_mode, qc0, qc1, qa0, qa1,
@@ -177,30 +175,29 @@ def pack_dual(mode: BC7Mode, rotation, idx_mode, qc0, qc1, qa0, qa1,
     # this framework's encoders always emit idx_mode 0 (colour on the wider
     # 3-bit field never pays off under the search used), so packing assumes
     # field0 -> colour ownership.
-    words = bitpack.zeros(n, 4)
-    words = bitpack.field_or(words, jnp.full((n,), 1 << mode.mode, I32),
-                             0, mode.mode + 1)
+    sink = bitpack.Sink(n, 4)
+    sink.put(jnp.full((n,), 1 << mode.mode, I32), 0, mode.mode + 1)
     pos = mode.mode + 1
-    words = bitpack.field_or(words, rotation, pos, 2)
+    sink.put(rotation, pos, 2)
     pos += 2
     if mode.index_mode_bits:
-        words = bitpack.field_or(words, idx_mode, pos, 1)
+        sink.put(idx_mode, pos, 1)
         pos += 1
     for c in range(3):
-        words = bitpack.field_or(words, qc0[:, c], pos, mode.colour_bits)
+        sink.put(qc0[:, c], pos, mode.colour_bits)
         pos += mode.colour_bits
-        words = bitpack.field_or(words, qc1[:, c], pos, mode.colour_bits)
+        sink.put(qc1[:, c], pos, mode.colour_bits)
         pos += mode.colour_bits
-    words = bitpack.field_or(words, qa0, pos, mode.alpha_bits)
+    sink.put(qa0, pos, mode.alpha_bits)
     pos += mode.alpha_bits
-    words = bitpack.field_or(words, qa1, pos, mode.alpha_bits)
+    sink.put(qa1, pos, mode.alpha_bits)
     pos += mode.alpha_bits
     for i in range(16):
         w = mode.index_bits - (1 if i == 0 else 0)
-        words = bitpack.field_or(words, cidx[:, i], pos, w)
+        sink.put(cidx[:, i], pos, w)
         pos += w
     for i in range(16):
         w = mode.index_bits2 - (1 if i == 0 else 0)
-        words = bitpack.field_or(words, aidx[:, i], pos, w)
+        sink.put(aidx[:, i], pos, w)
         pos += w
-    return words
+    return sink.words()

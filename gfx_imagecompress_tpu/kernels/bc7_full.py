@@ -1,0 +1,340 @@
+"""Full BC7 encoder: all 8 modes (AMD BC7BlockEncoder analog).
+
+TPU-first redesign of amd_bc7_body.cpp's CompressBlock (:1289-1465):
+the reference visits modes {6,4,3,1,2,0,7,5} with data-dependent early-outs
+and per-mode partition sweeps + trace-table quantization + endpoint shakers;
+here every enabled mode is evaluated for every block and a masked argmin
+selects the winner (SURVEY.md §7 step 5: the early-outs become masking).
+
+Replacements for the reference's heavyweight machinery (SURVEY.md §7 hard
+parts 1-2):
+  - the ~640 MB trace tables (amd_bc7_3dquant_vpc.cpp:35-124) are replaced
+    by fixed-iteration least-squares fitting against the exact decode
+    palette — the same fixed point optQuantAnD_d converges to
+    (3dquant:1874-2045) without any tables;
+  - the ~100 MB shake ramp tables (amd_shake.cpp:225-231) are replaced by
+    recomputing ramps in-kernel: bit-replicated endpoint expansion + the
+    64-weight lerp costs a few flops (amd_shake.cpp:254-297 semantics);
+  - the partition sweep (bc7_body:582-643) becomes one vectorized
+    bounds-axis estimate over the whole partition axis, then top-K exact
+    fits (mirroring the sortProjection -> shake-top-N structure,
+    bc7_body:643-709).
+
+Quality maps to static budgets at trace time (partition shortlists, top-K,
+refit rounds) like the encoder-ctor mapping amd_bc7_body.hpp:108-148.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables.bc7_tables import (BC7_MODES, WEIGHTS_BY_BITS, partition_table)
+from .bc7_common import (pack_dual, pack_single, palette, quantize_pbit,
+                         quantize_plain)
+from .common import assign_nearest, fit_line_iterative, lsq_refit
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+LEVELS = {b: tuple(w / 64.0 for w in WEIGHTS_BY_BITS[b]) for b in (2, 3, 4)}
+
+
+def _estimate_partitions_vec(pts, subsets: int, plist, levels: int):
+    """Vectorized bounds-axis error estimate over the partition axis.
+
+    pts (N,16,C) -> (N,P) estimated error. One shot instead of the
+    reference's per-partition quantizer calls (bc7_body:582-643).
+    """
+    ptab = partition_table(subsets)[np.asarray(plist)]      # (P,16)
+    onehot = np.zeros((len(plist), subsets, 16), np.float32)
+    for p in range(len(plist)):
+        for i in range(16):
+            onehot[p, ptab[p, i], i] = 1.0
+    oh = jnp.asarray(onehot)                                 # (P,S,16)
+    cnt = jnp.maximum(oh.sum(-1), 1.0)                       # (P,S)
+    mean = jnp.einsum("psi,nic->npsc", oh, pts) / cnt[None, :, :, None]
+    mean_px = jnp.einsum("psi,npsc->npic", oh, mean)         # (N,P,16,C)
+    r = pts[:, None] - mean_px                               # (N,P,16,C)
+    big = jnp.float32(1e30)
+    # per-subset bounds of residuals: loop subsets (S<=3 static) to keep the
+    # peak tensor at (N,P,16,C) rather than (N,P,S,16,C)
+    lo_l, hi_l = [], []
+    for s in range(subsets):
+        msk = oh[None, :, s, :, None] > 0                    # (1,P,16,1)
+        lo_l.append(jnp.min(jnp.where(msk, r, big), axis=2))  # (N,P,C)
+        hi_l.append(jnp.max(jnp.where(msk, r, -big), axis=2))
+    lo = jnp.stack(lo_l, axis=2)                             # (N,P,S,C)
+    hi = jnp.stack(hi_l, axis=2)
+    axis = hi - lo                                           # (N,P,S,C)
+    nrm = jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-6)
+    axis = axis / nrm
+    axis_px = jnp.einsum("psi,npsc->npic", oh, axis)
+    t = jnp.sum(r * axis_px, axis=-1)                        # (N,P,16)
+    tmin_l, tmax_l = [], []
+    for s in range(subsets):
+        msk = oh[None, :, s, :] > 0                          # (1,P,16)
+        tmin_l.append(jnp.min(jnp.where(msk, t, big), axis=2))   # (N,P)
+        tmax_l.append(jnp.max(jnp.where(msk, t, -big), axis=2))
+    tmin = jnp.stack(tmin_l, axis=2)                         # (N,P,S)
+    tmax = jnp.stack(tmax_l, axis=2)
+    span = jnp.maximum(tmax - tmin, 1e-6)
+    tmin_px = jnp.einsum("psi,nps->npi", oh, tmin)
+    span_px = jnp.einsum("psi,nps->npi", oh, span)
+    tq = jnp.round((t - tmin_px) / span_px * (levels - 1))
+    tr = tq / (levels - 1) * span_px + tmin_px
+    d2 = jnp.sum(r * r, axis=-1) - t * t                     # off-axis
+    return jnp.sum(d2 + (t - tr) ** 2, axis=-1)              # (N,P)
+
+
+def _pbit_combos(mode):
+    if mode.pbit_mode == "per_endpoint":
+        return ((0, 0), (0, 1), (1, 0), (1, 1))
+    if mode.pbit_mode == "shared":
+        return ((0, 0), (1, 1))
+    return ((None, None),)
+
+
+def _quant_subset(pts, m, mode, e0, e1, weights):
+    """Quantize one subset's float endpoints under all pbit combos; exact
+    palette evaluation. Returns (err, q0, q1, p0, p1, idx)."""
+    n = pts.shape[0]
+    cbits = mode.colour_bits
+    abits = mode.alpha_bits
+    chans = pts.shape[-1]
+    best = None
+    for p0, p1 in _pbit_combos(mode):
+        qs0, ds0, qs1, ds1 = [], [], [], []
+        for c in range(chans):
+            bits = cbits if c < 3 else abits
+            if p0 is None:
+                q0c, d0c = quantize_plain(e0[..., c], bits)
+                q1c, d1c = quantize_plain(e1[..., c], bits)
+            else:
+                q0c, d0c = quantize_pbit(e0[..., c], bits, p0)
+                q1c, d1c = quantize_pbit(e1[..., c], bits, p1)
+            qs0.append(q0c)
+            ds0.append(d0c)
+            qs1.append(q1c)
+            ds1.append(d1c)
+        d0 = jnp.stack(ds0, -1)
+        d1 = jnp.stack(ds1, -1)
+        pal = palette(d0, d1, mode.index_bits)
+        idx, err = assign_nearest(pts, pal, weights, m)
+        pv0 = jnp.full((n,), 0 if p0 is None else p0, I32)
+        pv1 = jnp.full((n,), 0 if p1 is None else p1, I32)
+        cand = (err, jnp.stack(qs0, -1), jnp.stack(qs1, -1), pv0, pv1, idx)
+        if best is None:
+            best = cand
+        else:
+            bt = cand[0] < best[0]
+            best = tuple(
+                jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+                for c, b in zip(cand, best))
+    return best
+
+
+def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2):
+    """Generic single-index mode encoder (modes 0,1,2,3,6,7).
+
+    pts (N,16,C) with C=4 iff mode has alpha endpoints, else C=3.
+    Returns (err, words).
+    """
+    n = pts.shape[0]
+    s_count = mode.subsets
+    levels = LEVELS[mode.index_bits]
+    if s_count == 1:
+        parts = jnp.zeros((n,), I32)
+        cand_parts = parts[:, None]
+        topk = 1
+    else:
+        est = _estimate_partitions_vec(pts, s_count, plist,
+                                       1 << mode.index_bits)
+        k = min(topk, len(plist))
+        _, top = jax.lax.top_k(-est, k)
+        cand_parts = jnp.asarray(plist, I32)[top]            # (N,K)
+        topk = k
+    ptab = jnp.asarray(partition_table(s_count))
+    best = None
+    for kk in range(topk):
+        part = cand_parts[:, kk]
+        sub = ptab[part]
+        total = jnp.zeros((n,), F32)
+        q0l, q1l, p0l, p1l = [], [], [], []
+        idx_all = jnp.zeros((n, 16), I32)
+        for s in range(s_count):
+            m = (sub == s).astype(F32)
+            e0, e1 = fit_line_iterative(pts, m, levels, iters, weights)
+            err, q0, q1, p0, p1, idx = _quant_subset(
+                pts, m, mode, e0, e1, weights)
+            total = total + err
+            q0l.append(q0)
+            q1l.append(q1)
+            p0l.append(p0)
+            p1l.append(p1)
+            idx_all = jnp.where(sub == s, idx, idx_all)
+        cand = (total, part, jnp.stack(q0l, 1), jnp.stack(q1l, 1),
+                jnp.stack(p0l, 1), jnp.stack(p1l, 1), idx_all)
+        if best is None:
+            best = cand
+        else:
+            bt = cand[0] < best[0]
+            best = tuple(
+                jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+                for c, b in zip(cand, best))
+    err, part, q0, q1, pb0, pb1, idx = best
+    if pts.shape[-1] == 3 and mode.alpha_bits:
+        raise AssertionError("alpha mode needs 4-channel pts")
+    words = pack_single(mode, part, q0, q1, pb0, pb1, idx)
+    return err, words
+
+
+def _fit_scalar(vals, bits: int, index_bits: int, iters: int = 2):
+    """Scalar (alpha) channel fit for dual modes: LSQ + exact evaluation.
+
+    vals (N,16) in 0..255 -> (err, q0, q1, idx)."""
+    levels = jnp.asarray(LEVELS[index_bits], F32)
+    e0 = jnp.min(vals, axis=-1)
+    e1 = jnp.max(vals, axis=-1)
+    for _ in range(iters):
+        pal = e0[:, None] + levels[None, :] * (e1 - e0)[:, None]
+        d = vals[:, :, None] - pal[:, None, :]
+        idx = jnp.argmin(d * d, axis=-1)
+        a = levels[idx]
+        q00 = jnp.sum((1 - a) ** 2, -1)
+        q01 = jnp.sum(a * (1 - a), -1)
+        q11 = jnp.sum(a * a, -1)
+        b0 = jnp.sum((1 - a) * vals, -1)
+        b1 = jnp.sum(a * vals, -1)
+        det = q00 * q11 - q01 * q01
+        ok = jnp.abs(det) > 1e-6
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        ne0 = (q11 * b0 - q01 * b1) * inv
+        ne1 = (q00 * b1 - q01 * b0) * inv
+        e0 = jnp.where(ok, ne0, e0)
+        e1 = jnp.where(ok, ne1, e1)
+    q0, d0 = quantize_plain(e0, bits)
+    q1, d1 = quantize_plain(e1, bits)
+    w = jnp.asarray(WEIGHTS_BY_BITS[index_bits], I32)
+    pal = (d0[:, None] * (64 - w)[None, :] + d1[:, None] * w[None, :]
+           + 32) >> 6
+    d = vals[:, :, None] - pal[:, None, :].astype(F32)
+    idx = jnp.argmin(d * d, axis=-1).astype(I32)
+    err = jnp.sum(jnp.min(d * d, axis=-1), axis=-1)
+    return err, q0, q1, idx
+
+
+def encode_dual_mode(pts, mode, weights):
+    """Modes 4/5: rotation race x separate RGB + scalar alpha fits.
+
+    pts (N,16,4) 0..255. idx_mode is always 0 (colour on the first field).
+    Returns (err, words). CompressDualIndexBlock analog
+    (amd_bc7_body.cpp:1059-1278) without the index-swap axis.
+    """
+    n = pts.shape[0]
+    w4 = jnp.asarray(weights, F32)
+    best = None
+    for rot in range(4):
+        perm = [0, 1, 2, 3]
+        if rot:
+            perm[rot - 1], perm[3] = perm[3], perm[rot - 1]
+        p = pts[..., perm]
+        wp = w4[jnp.asarray(perm)]
+        rgb, alpha = p[..., :3], p[..., 3]
+        mask = jnp.ones((n, 16), F32)
+        e0, e1 = fit_line_iterative(rgb, mask, LEVELS[mode.index_bits], 2,
+                                    wp[:3])
+        cbest = None
+        qs0, ds0, qs1, ds1 = [], [], [], []
+        for c in range(3):
+            q0c, d0c = quantize_plain(e0[..., c], mode.colour_bits)
+            q1c, d1c = quantize_plain(e1[..., c], mode.colour_bits)
+            qs0.append(q0c)
+            ds0.append(d0c)
+            qs1.append(q1c)
+            ds1.append(d1c)
+        pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1),
+                      mode.index_bits)
+        cidx, cerr = assign_nearest(rgb, pal, wp[:3], mask)
+        aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
+                                           mode.index_bits2)
+        err = cerr + aerr * wp[3]
+        cand = (err, jnp.full((n,), rot, I32), jnp.stack(qs0, -1),
+                jnp.stack(qs1, -1), qa0, qa1, cidx, aidx)
+        if best is None:
+            best = cand
+        else:
+            bt = cand[0] < best[0]
+            best = tuple(
+                jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+                for c, b in zip(cand, best))
+    err, rot, qc0, qc1, qa0, qa1, cidx, aidx = best
+    words = pack_dual(mode, rot, jnp.zeros((n,), I32), qc0, qc1, qa0, qa1,
+                      cidx, aidx)
+    return err, words
+
+
+def _budgets(quality: float):
+    """quality -> (partition shortlist len, topk, fit iters). Mirrors the
+    FAST/HIGHQUALITY threshold mapping (amd_bc7_body.cpp:258-262,
+    hpp:108-148) as static trace-time budgets."""
+    if quality <= 0.25:
+        return 16, 1, 1
+    if quality <= 0.5:
+        return 32, 2, 2
+    if quality <= 0.75:
+        return 64, 3, 2
+    return 64, 4, 3
+
+
+@partial(jax.jit, static_argnames=("quality", "mode_mask", "src_has_alpha",
+                                  "colour_restrict", "alpha_restrict"))
+def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
+                      mode_mask: int = 0xFF, src_has_alpha: bool = True,
+                      colour_restrict: bool = True,
+                      alpha_restrict: bool = True):
+    """Encode (N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err).
+
+    Image_CompressAMDMultiModeLDRBlock analog (amd_bc7_compressor.cpp:11-23).
+    Every enabled mode is evaluated; opaque-only modes (0-3) pay the true
+    alpha penalty on non-opaque blocks so the argmin prunes them naturally
+    (replacing the reference's alpha-scan mode masking, bc7_body:1312-1380).
+    """
+    pts = blocks.astype(F32) * 255.0
+    n = pts.shape[0]
+    w = (1.0, 1.0, 1.0, 1.0)
+    nparts, topk, iters = _budgets(quality)
+    plist = tuple(range(nparts))
+    plist16 = tuple(range(min(nparts, 16)))
+
+    alpha_pen = jnp.sum((pts[..., 3] - 255.0) ** 2, axis=-1)
+
+    errs = []
+    words_list = []
+    modes_used = []
+    for m in BC7_MODES:
+        if not (mode_mask >> m.mode) & 1:
+            continue
+        if m.mode in (4, 5):
+            err, wd = encode_dual_mode(pts, m, w)
+        elif m.alpha_bits:  # modes 6, 7
+            err, wd = encode_single_mode(
+                pts, m, jnp.asarray(w, F32),
+                plist16 if m.mode == 0 else plist, topk, iters)
+        else:               # modes 0-3: opaque; charge true alpha error
+            err, wd = encode_single_mode(
+                pts[..., :3], m, jnp.asarray(w[:3], F32),
+                plist16 if m.mode == 0 else plist, topk, iters)
+            err = err + alpha_pen
+        errs.append(err)
+        words_list.append(wd)
+        modes_used.append(m.mode)
+
+    errs = jnp.stack(errs, axis=1)                 # (N, M)
+    allw = jnp.stack(words_list, axis=1)           # (N, M, 4)
+    pick = jnp.argmin(errs, axis=1)
+    words = jnp.take_along_axis(allw, pick[:, None, None], axis=1)[:, 0]
+    err = jnp.min(errs, axis=1)
+    return words, err
