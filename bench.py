@@ -66,8 +66,8 @@ def main():
     def time_left():
         return deadline - time.monotonic()
 
-    from gfx_imagecompress_tpu.kernels.bc1 import (encode_bc1_blocks,
-                                                   encode_rgb_blocks)
+    from gfx_imagecompress_tpu.kernels.bc1_pallas import (
+        encode_bc1_blocks_pallas)
     from gfx_imagecompress_tpu.kernels.bc4 import (encode_bc2_alpha_blocks,
                                                    encode_bc4_blocks)
     from gfx_imagecompress_tpu.kernels.bc7_fast import encode_bc7_fast_blocks
@@ -88,7 +88,7 @@ def main():
     # --- config 1: BC1, 256x256 content (batched x64 = 262144 blocks) ---
     imgs = jnp.asarray(np.stack([photo(256, 256)] * 64))
     blocks = image_to_blocks(imgs)
-    dt = _marginal_time(encode_bc1_blocks, blocks)
+    dt = _marginal_time(encode_bc1_blocks_pallas, blocks)
     texels = 64 * 256 * 256
     bc1_mts = texels / dt / 1e6
     results["bc1_256_mtexels_per_s"] = bc1_mts
@@ -108,12 +108,12 @@ def main():
     b1k = image_to_blocks(jnp.asarray(photo(1024, 1024)[None]))
 
     def bc3(b):
-        cw, ce = encode_rgb_blocks(b)
+        cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
         aw, ae = encode_bc4_blocks(b[:, :, 3])
         return jnp.concatenate([aw, cw], 1), ce + ae
 
     def bc2(b):
-        cw, ce = encode_rgb_blocks(b)
+        cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
         aw, ae = encode_bc2_alpha_blocks(b[:, :, 3])
         return jnp.concatenate([aw, cw], 1), ce + ae
 

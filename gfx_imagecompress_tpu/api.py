@@ -47,12 +47,21 @@ def compress_amd_bc1(src: Image,
     opt = options or BC1Options()
     blocks = image_to_blocks(src.data)
     use_alpha = opt.use_alpha and src.channels >= 4
-    words, _ = _bc1.encode_bc1_blocks(
-        blocks, alpha_threshold=opt.alpha_threshold / 255.0,
-        use_alpha=use_alpha,
-        refinement_steps=amd.refinement_steps,
-        b3d_refinement=amd.b3d_refinement,
-        weights=_weights(amd, blocks))
+    if use_alpha:
+        # punch-through path stays on the XLA kernel (transparent-index
+        # masking); opaque content takes the fused Pallas kernel below
+        words, _ = _bc1.encode_bc1_blocks(
+            blocks, alpha_threshold=opt.alpha_threshold / 255.0,
+            use_alpha=True,
+            refinement_steps=amd.refinement_steps,
+            b3d_refinement=amd.b3d_refinement,
+            weights=_weights(amd, blocks))
+    else:
+        from .kernels.bc1_pallas import encode_bc1_blocks_pallas
+        words, _ = encode_bc1_blocks_pallas(
+            blocks, weights=_weights(amd, blocks),
+            iters=2 + amd.refinement_steps,
+            passes=2 if amd.b3d_refinement else 1)
     fmt = BlockFormat.BC1_SRGB if src.srgb else BlockFormat.BC1_UNORM
     return CompressedImage(_grid(src, words, 2), fmt, src.width, src.height,
                            src.slices)
@@ -65,9 +74,7 @@ def compress_amd_bc2(src: Image,
     (amd_bc2_compressor.cpp:41-46)."""
     amd = amd_options or AMDBackendOptions()
     blocks = image_to_blocks(src.data)
-    cw, _ = _bc1.encode_rgb_blocks(
-        blocks, refinement_steps=amd.refinement_steps,
-        b3d_refinement=amd.b3d_refinement, weights=_weights(amd, blocks))
+    cw, _ = _rgb_colour_words(blocks, amd)
     aw, _ = _bc4.encode_bc2_alpha_blocks(_alpha_channel(blocks))
     words = jnp.concatenate([aw, cw], axis=1)  # alpha block first (64+64 bit)
     fmt = BlockFormat.BC2_SRGB if src.srgb else BlockFormat.BC2_UNORM
@@ -82,9 +89,7 @@ def compress_amd_bc3(src: Image,
     (amd_bc3_compressor.cpp:41-46)."""
     amd = amd_options or AMDBackendOptions()
     blocks = image_to_blocks(src.data)
-    cw, _ = _bc1.encode_rgb_blocks(
-        blocks, refinement_steps=amd.refinement_steps,
-        b3d_refinement=amd.b3d_refinement, weights=_weights(amd, blocks))
+    cw, _ = _rgb_colour_words(blocks, amd)
     aw, _ = _bc4.encode_bc4_blocks(_alpha_channel(blocks))
     words = jnp.concatenate([aw, cw], axis=1)
     fmt = BlockFormat.BC3_SRGB if src.srgb else BlockFormat.BC3_UNORM
@@ -256,6 +261,18 @@ def compress_chunked(ctype: CompressType, src: Image,
     blocks = jnp.concatenate([c.blocks for c in chunks], axis=1)
     return CompressedImage(blocks, chunks[0].format, src.width, src.height,
                            src.slices)
+
+
+def _rgb_colour_words(blocks, amd: AMDBackendOptions):
+    """BC2/BC3 colour block via the fused Pallas kernel (4-colour only;
+    BC2/BC3 decoders force 4-colour interpolation regardless of endpoint
+    order, so the mode race is disabled)."""
+    from .kernels.bc1_pallas import encode_bc1_blocks_pallas
+    return encode_bc1_blocks_pallas(
+        blocks, weights=_weights(amd, blocks),
+        iters=2 + amd.refinement_steps,
+        passes=2 if amd.b3d_refinement else 1,
+        allow_three=False)
 
 
 def _weights(amd: AMDBackendOptions, blocks) -> tuple:
