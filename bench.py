@@ -45,15 +45,22 @@ def _marginal_time(encode, blocks, n_lo=1, n_hi=5, reps=3):
         return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
 
     _ = np.asarray(run(blocks, 1))  # compile + warm
-    times = {}
-    for n in (n_lo, n_hi):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            _ = np.asarray(run(blocks, n))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-    return max((times[n_hi] - times[n_lo]) / (n_hi - n_lo), 1e-9)
+
+    def measure(lo, hi):
+        times = {}
+        for n in (lo, hi):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _ = np.asarray(run(blocks, n))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+        return (times[hi] - times[lo]) / (hi - lo)
+
+    dt = measure(n_lo, n_hi)
+    if dt < 1e-3:  # below tunnel noise: re-measure with many more trips
+        dt = measure(10, 110)
+    return max(dt, 1e-9)
 
 
 def main():
@@ -68,8 +75,9 @@ def main():
 
     from gfx_imagecompress_tpu.kernels.bc1_pallas import (
         encode_bc1_blocks_pallas)
-    from gfx_imagecompress_tpu.kernels.bc4 import (encode_bc2_alpha_blocks,
-                                                   encode_bc4_blocks)
+    from gfx_imagecompress_tpu.kernels.bc4 import encode_bc2_alpha_blocks
+    from gfx_imagecompress_tpu.kernels.bc4_pallas import (
+        encode_bc4_blocks_pallas)
     from gfx_imagecompress_tpu.kernels.bc7_fast import encode_bc7_fast_blocks
     from gfx_imagecompress_tpu.pipeline.blocks import image_to_blocks
 
@@ -98,7 +106,7 @@ def main():
         results["skipped_after"] = "bc1"
         return _emit(results, bc1_mts)
     g = image_to_blocks(jnp.asarray(photo(512, 512, 4)[None]))[:, :, 0]
-    dt = _marginal_time(encode_bc4_blocks, g)
+    dt = _marginal_time(encode_bc4_blocks_pallas, g)
     results["bc4_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
 
     # --- config 3: BC2/BC3 1K RGBA ---
@@ -109,7 +117,7 @@ def main():
 
     def bc3(b):
         cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
-        aw, ae = encode_bc4_blocks(b[:, :, 3])
+        aw, ae = encode_bc4_blocks_pallas(b[:, :, 3])
         return jnp.concatenate([aw, cw], 1), ce + ae
 
     def bc2(b):

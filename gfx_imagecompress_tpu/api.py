@@ -90,7 +90,8 @@ def compress_amd_bc3(src: Image,
     amd = amd_options or AMDBackendOptions()
     blocks = image_to_blocks(src.data)
     cw, _ = _rgb_colour_words(blocks, amd)
-    aw, _ = _bc4.encode_bc4_blocks(_alpha_channel(blocks))
+    from .kernels.bc4_pallas import encode_bc4_blocks_pallas
+    aw, _ = encode_bc4_blocks_pallas(_alpha_channel(blocks))
     words = jnp.concatenate([aw, cw], axis=1)
     fmt = BlockFormat.BC3_SRGB if src.srgb else BlockFormat.BC3_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
@@ -104,8 +105,9 @@ def compress_amd_bc4(src: Image) -> CompressedImage:
     (amd_bc4_compressor.cpp:34-37, SURVEY.md §7 "bugs to not replicate");
     we sample channel 0 (R) per the BC4 format contract.
     """
+    from .kernels.bc4_pallas import encode_bc4_blocks_pallas
     blocks = image_to_blocks(src.data)
-    words, _ = _bc4.encode_bc4_blocks(blocks[:, :, 0])
+    words, _ = encode_bc4_blocks_pallas(blocks[:, :, 0])
     fmt = BlockFormat.BC4_SNORM if src.signed else BlockFormat.BC4_UNORM
     return CompressedImage(_grid(src, words, 2), fmt, src.width, src.height,
                            src.slices)
@@ -114,9 +116,10 @@ def compress_amd_bc4(src: Image) -> CompressedImage:
 def compress_amd_bc5(src: Image) -> CompressedImage:
     """Image_CompressAMDBC5 analog: channels 0,1 -> two scalar blocks
     (amd_bc5_compressor.cpp:35-41)."""
+    from .kernels.bc4_pallas import encode_bc4_blocks_pallas
     blocks = image_to_blocks(src.data)
-    rw, _ = _bc4.encode_bc4_blocks(blocks[:, :, 0])
-    gw, _ = _bc4.encode_bc4_blocks(blocks[:, :, 1])
+    rw, _ = encode_bc4_blocks_pallas(blocks[:, :, 0])
+    gw, _ = encode_bc4_blocks_pallas(blocks[:, :, 1])
     words = jnp.concatenate([rw, gw], axis=1)
     fmt = BlockFormat.BC5_SNORM if src.signed else BlockFormat.BC5_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
