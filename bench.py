@@ -78,7 +78,8 @@ def main():
     from gfx_imagecompress_tpu.kernels.bc4 import encode_bc2_alpha_blocks
     from gfx_imagecompress_tpu.kernels.bc4_pallas import (
         encode_bc4_blocks_pallas)
-    from gfx_imagecompress_tpu.kernels.bc7_fast import encode_bc7_fast_blocks
+    from gfx_imagecompress_tpu.kernels.bc7_fast_pallas import (
+        encode_bc7_fast_blocks_pallas)
     from gfx_imagecompress_tpu.pipeline.blocks import image_to_blocks
 
     rng = np.random.default_rng(0)
@@ -136,15 +137,16 @@ def main():
             raise TimeoutError("budget: skipping bc6h")
         from functools import partial
 
-        from gfx_imagecompress_tpu.kernels.bc6h import encode_bc6h_blocks
+        from gfx_imagecompress_tpu.kernels.bc6h_pallas import (
+            encode_bc6h_blocks_pallas)
         hdr = np.exp(photo(1024, 1024, 3).astype(np.float32) * 4.0)
-        bh = image_to_blocks(jnp.asarray(hdr[None]))[:16384]  # one slab
+        bh = image_to_blocks(jnp.asarray(hdr[None]))
         for signed in (False, True):
-            fn = partial(encode_bc6h_blocks, signed=signed)
+            fn = partial(encode_bc6h_blocks_pallas, signed=signed)
             dt = _marginal_time(fn, bh, n_lo=1, n_hi=3)
             key = ("bc6h_1k_%s_mtexels_per_s"
                    % ("snorm" if signed else "ufloat"))
-            results[key] = 16384 * 16 / dt / 1e6
+            results[key] = 1024 * 1024 / dt / 1e6
     except Exception as e:  # keep the headline alive if BC6H regresses
         results["bc6h_error"] = repr(e)
 
@@ -153,7 +155,7 @@ def main():
         results["skipped_after"] = "bc6h"
         return _emit(results, bc1_mts)
     from functools import partial as _p
-    dt = _marginal_time(_p(encode_bc7_fast_blocks, fast=True,
+    dt = _marginal_time(_p(encode_bc7_fast_blocks_pallas, fast=True,
                            perceptual=False), b1k, n_lo=1, n_hi=3)
     results["bc7_fast_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
     try:

@@ -134,10 +134,10 @@ def compress_amd_bc6h(src: Image,
     The reference has an argument-order bug that drops the mode mask
     (amd_bc6h_compressor.cpp:28); here the mask is honored.
     """
-    from .kernels import bc6h as _bc6h
+    from .kernels.bc6h_pallas import encode_bc6h_blocks_pallas
     amd = amd_options or AMDBackendOptions()
     blocks = image_to_blocks(src.data)
-    words, _ = _bc6h.encode_bc6h_blocks(
+    words, _ = encode_bc6h_blocks_pallas(
         blocks[:, :, :3], signed=src.signed, mode_mask=amd.mode_mask)
     fmt = (BlockFormat.BC6H_SFLOAT if src.signed
            else BlockFormat.BC6H_UFLOAT)
@@ -173,10 +173,10 @@ def compress_richgel999_bc7(src: Image,
                             ) -> CompressedImage:
     """Image_CompressRichGel999BC7 analog (richgel999_bc7enc16.cpp:21-71):
     fast BC7 restricted to modes 1 and 6."""
-    from .kernels import bc7_fast as _bc7f
+    from .kernels.bc7_fast_pallas import encode_bc7_fast_blocks_pallas
     opt = options or RichGel999Options()
     blocks = image_to_blocks(src.data)
-    words, _ = _bc7f.encode_bc7_fast_blocks(
+    words, _ = encode_bc7_fast_blocks_pallas(
         _rgba(blocks), fast=opt.fast, perceptual=opt.perceptual)
     fmt = BlockFormat.BC7_SRGB if src.srgb else BlockFormat.BC7_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,

@@ -1,0 +1,470 @@
+"""Fused BC6H encoder as a Pallas TPU kernel.
+
+Lane-parallel version of kernels/bc6h.py: shape estimation over all 32
+two-region shapes (shape masks are compile-time constants per pixel row),
+top-K exact subset fits, the full 14-mode sweep with delta-fit gating and
+pre-gate anchor swaps, and per-mode packing with lane-selected layouts —
+everything VMEM-resident. The f32 -> half-int conversion happens outside
+the kernel (cheap XLA elementwise); the kernel consumes the half-int
+targets and their work-domain floats.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables.bc6h_tables import (BC6H_MODES, LAYOUTS, ONE_REGION_INDEX_BIT,
+                                  TWO_REGION_INDEX_BIT, TWO_REGION_SHAPE_BIT)
+from ..tables.bc7_tables import ANCHOR2, P2, WEIGHTS3, WEIGHTS4
+from .bc6h import f32_to_half_int, _to_work
+
+F32 = jnp.float32
+I32 = jnp.int32
+U32 = jnp.uint32
+
+TILE = 256
+LV3 = tuple(w / 64.0 for w in WEIGHTS3)
+LV4 = tuple(w / 64.0 for w in WEIGHTS4)
+_EPS = 1e-8
+_ANCHOR_CLASSES = (2, 8, 15)
+
+
+def _put(cols, val, start, nbits):
+    v = val.astype(U32) & U32((1 << nbits) - 1)
+    w, off = divmod(start, 32)
+    cols[w] = cols[w] | (v << U32(off))
+    if off + nbits > 32:
+        cols[w + 1] = cols[w + 1] | (v >> U32(32 - off))
+    return cols
+
+
+def _sel_by_id(pid, table):
+    out = jnp.zeros_like(pid)
+    for p, v in enumerate(table):
+        if v:
+            out = jnp.where(pid == p, v, out)
+    return out
+
+
+# ----------------------------------------------------------- quantization --
+def _quantize(u, prec: int, signed: bool):
+    if not signed:
+        uq = jnp.clip(jnp.round(u), 0, 0xFFFF).astype(I32)
+        if prec >= 15:
+            return jnp.clip(uq, 0, (1 << prec) - 1)
+        return jnp.clip((uq * (1 << prec) + 0x8000) >> 16, 0,
+                        (1 << prec) - 1)
+    uq = jnp.clip(jnp.round(u), -0x7FFF, 0x7FFF).astype(I32)
+    if prec >= 16:
+        return uq
+    mx = (1 << (prec - 1)) - 1
+    mag = jnp.abs(uq)
+    q = jnp.clip((mag * (1 << (prec - 1)) + 0x4000) >> 15, 0, mx)
+    return jnp.where(uq < 0, -q, q)
+
+
+def _unquantize(q, prec: int, signed: bool):
+    if not signed:
+        if prec >= 15:
+            return q
+        maxq = (1 << prec) - 1
+        u = ((q << 16) + 0x8000) >> prec
+        u = jnp.where(q == 0, 0, u)
+        return jnp.where(q == maxq, 0xFFFF, u)
+    if prec >= 16:
+        return q
+    s = q < 0
+    a = jnp.abs(q)
+    maxa = (1 << (prec - 1)) - 1
+    u = ((a << 15) + 0x4000) >> (prec - 1)
+    u = jnp.where(a == 0, 0, u)
+    u = jnp.where(a >= maxa, 0x7FFF, u)
+    return jnp.where(s, -u, u)
+
+
+def _finish_signed_dec(v):
+    """Finish to the *signed decoded int* domain (for error computation)."""
+    mag = (jnp.abs(v) * 31) >> 5
+    return jnp.where(v < 0, -mag, mag)
+
+
+def _palette_err(h, mask_rows, q0, q1, prec, signed, wtab):
+    """Exact decode-path palette eval.
+
+    h: 3x(16,T) int32 half-int targets; q0/q1: 3-tuples (1,T) int32.
+    Returns idx (16,T), err (1,T) f32.
+    """
+    u0 = [_unquantize(q, prec, signed) for q in q0]
+    u1 = [_unquantize(q, prec, signed) for q in q1]
+    best = None
+    idx = None
+    for k, wk in enumerate(wtab):
+        d = None
+        for c in range(3):
+            v = (u0[c] * (64 - wk) + u1[c] * wk + 32) >> 6
+            dec = _finish_signed_dec(v) if signed else (v * 31) >> 6
+            diff = h[c].astype(F32) - dec.astype(F32)
+            d = diff * diff if d is None else d + diff * diff
+        if best is None:
+            best, idx = d, jnp.zeros_like(d, I32)
+        else:
+            take = d < best
+            best = jnp.where(take, d, best)
+            idx = jnp.where(take, k, idx)
+    if mask_rows is not None:
+        best = best * mask_rows
+    return idx, jnp.sum(best, axis=0, keepdims=True)
+
+
+# ------------------------------------------------------------ estimation ---
+def _estimate_shapes(us):
+    """Bounds-axis error estimate for each of the 32 shapes (static masks)."""
+    ests = []
+    for sh in range(32):
+        bits = P2[sh]
+        est = None
+        for s in (0, 1):
+            rows = [p for p in range(16) if ((bits >> p) & 1) == s]
+            cnt = float(len(rows))
+            mean = [sum(x[p:p + 1] for p in rows) / cnt for x in us]
+            cen = [[x[p:p + 1] - mean[c] for p in rows]
+                   for c, x in enumerate(us)]
+            lo, hi = [], []
+            for c in range(3):
+                l = h = cen[c][0]
+                for r in cen[c][1:]:
+                    l = jnp.minimum(l, r)
+                    h = jnp.maximum(h, r)
+                lo.append(l)
+                hi.append(h)
+            axis = [h - l for h, l in zip(hi, lo)]
+            n = jnp.sqrt(sum(a * a for a in axis))
+            inv = 1.0 / jnp.maximum(n, 1e-6)
+            axis = [a * inv for a in axis]
+            ts = [sum(cen[c][i] * axis[c] for c in range(3))
+                  for i in range(len(rows))]
+            tmin = tmax = ts[0]
+            for t in ts[1:]:
+                tmin = jnp.minimum(tmin, t)
+                tmax = jnp.maximum(tmax, t)
+            span = jnp.maximum(tmax - tmin, 1e-6)
+            for i, t in enumerate(ts):
+                tq = jnp.round((t - tmin) / span * 7.0)
+                tr = tq * (1.0 / 7.0) * span + tmin
+                d2 = sum(cen[c][i] * cen[c][i] for c in range(3)) - t * t
+                add = d2 + (t - tr) ** 2
+                est = add if est is None else est + add
+        ests.append(est)
+    return ests
+
+
+def _topk_ids(ests, k):
+    ids = []
+    big = jnp.float32(3.4e38)
+    ests = list(ests)
+    for _ in range(k):
+        best = ests[0]
+        bid = jnp.zeros_like(ests[0], I32)
+        for j in range(1, 32):
+            take = ests[j] < best
+            best = jnp.where(take, ests[j], best)
+            bid = jnp.where(take, j, bid)
+        ids.append(bid)
+        ests = [jnp.where(bid == j, big, ests[j]) for j in range(32)]
+    return ids
+
+
+def _fit_masked(us, mask_rows, levels, iters):
+    """Masked 3-channel PCA + LSQ fit in the work domain."""
+    m = jnp.concatenate(mask_rows, axis=0)
+    cnt = jnp.maximum(jnp.sum(m, axis=0, keepdims=True), 1.0)
+    mean = [jnp.sum(x * m, axis=0, keepdims=True) / cnt for x in us]
+    cen = [(x - mn) * m for x, mn in zip(us, mean)]
+    cov = {}
+    for a in range(3):
+        for b in range(a, 3):
+            cov[(a, b)] = jnp.sum(cen[a] * cen[b], axis=0, keepdims=True)
+    v = [jnp.ones_like(mean[0]) for _ in range(3)]
+    for _ in range(8):
+        nv = [cov[(0, 0)] * v[0] + cov[(0, 1)] * v[1] + cov[(0, 2)] * v[2],
+              cov[(0, 1)] * v[0] + cov[(1, 1)] * v[1] + cov[(1, 2)] * v[2],
+              cov[(0, 2)] * v[0] + cov[(1, 2)] * v[1] + cov[(2, 2)] * v[2]]
+        n = jnp.sqrt(sum(x * x for x in nv))
+        ok = n > _EPS
+        inv = 1.0 / jnp.maximum(n, _EPS)
+        v = [jnp.where(ok, a * inv, b) for a, b in zip(nv, v)]
+    n = jnp.sqrt(sum(x * x for x in v))
+    ok = n > _EPS
+    inv = 1.0 / jnp.maximum(n, _EPS)
+    axis = [jnp.where(ok, a * inv, 0.57735026) for a in v]
+    t = sum(c * a for c, a in zip(cen, axis))
+    big = jnp.float32(1e30)
+    tmin = jnp.min(jnp.where(m > 0, t, big), axis=0, keepdims=True)
+    tmax = jnp.max(jnp.where(m > 0, t, -big), axis=0, keepdims=True)
+    tmin = jnp.where(tmin > tmax, 0.0, tmin)
+    tmax = jnp.where(tmax < tmin, 0.0, tmax)
+    e0 = [mn + tmin * a for mn, a in zip(mean, axis)]
+    e1 = [mn + tmax * a for mn, a in zip(mean, axis)]
+    lv = [jnp.float32(l) for l in levels]
+    for _ in range(iters):
+        bestd = None
+        alpha = None
+        for l in lv:
+            d = None
+            for c in range(3):
+                p = e0[c] + l * (e1[c] - e0[c])
+                diff = us[c] - p
+                d = diff * diff if d is None else d + diff * diff
+            if bestd is None:
+                bestd, alpha = d, jnp.zeros_like(d) + l
+            else:
+                take = d < bestd
+                bestd = jnp.where(take, d, bestd)
+                alpha = jnp.where(take, l, alpha)
+        one_a = (1.0 - alpha) * m
+        a_m = alpha * m
+        q00 = jnp.sum(one_a * (1.0 - alpha), axis=0, keepdims=True)
+        q01 = jnp.sum(one_a * alpha, axis=0, keepdims=True)
+        q11 = jnp.sum(a_m * alpha, axis=0, keepdims=True)
+        det = q00 * q11 - q01 * q01
+        okd = jnp.abs(det) > 1e-6
+        invd = 1.0 / jnp.where(okd, det, 1.0)
+        for c in range(3):
+            b0 = jnp.sum(one_a * us[c], axis=0, keepdims=True)
+            b1 = jnp.sum(a_m * us[c], axis=0, keepdims=True)
+            n0 = (q11 * b0 - q01 * b1) * invd
+            n1 = (q00 * b1 - q01 * b0) * invd
+            e0[c] = jnp.where(okd, n0, e0[c])
+            e1[c] = jnp.where(okd, n1, e1[c])
+    return e0, e1
+
+
+def _delta_ok3(d, bits_tuple):
+    ok = None
+    for c in range(3):
+        b = bits_tuple[c]
+        lo, hi = -(1 << (b - 1)), (1 << (b - 1)) - 1
+        o = (d[c] >= lo) & (d[c] <= hi)
+        ok = o if ok is None else ok & o
+    return ok
+
+
+def _swap2(idx, sub0_rows, anchor, q, ibits):
+    """Anchor swaps for a 2-region candidate.
+
+    idx (16,T); sub0_rows 16x(1,T) bool (subset-0 membership);
+    anchor (1,T) fixup pixel of subset 1; q = [e0s0, e1s0, e0s1, e1s1]
+    each a 3-list of (1,T). Returns swapped (idx, q).
+    """
+    comp = (1 << ibits) - 1
+    msb = 1 << (ibits - 1)
+    in0 = jnp.concatenate([r.astype(I32) for r in sub0_rows], axis=0)
+    need0 = (idx[0:1] & msb) != 0
+    idx = jnp.where(need0 & (in0 > 0), comp - idx, idx)
+    q0n = [jnp.where(need0, b, a) for a, b in zip(q[0], q[1])]
+    q1n = [jnp.where(need0, a, b) for a, b in zip(q[0], q[1])]
+    a_idx = jnp.zeros_like(idx[0:1])
+    for p in range(16):
+        a_idx = jnp.where(anchor == p, idx[p:p + 1], a_idx)
+    need1 = (a_idx & msb) != 0
+    idx = jnp.where(need1 & (in0 == 0), comp - idx, idx)
+    q2n = [jnp.where(need1, b, a) for a, b in zip(q[2], q[3])]
+    q3n = [jnp.where(need1, a, b) for a, b in zip(q[2], q[3])]
+    return idx, [q0n, q1n, q2n, q3n]
+
+
+# ---------------------------------------------------------------- packing --
+def _pack_mode(m, shape, anchor, q, idx):
+    """Pack one BC6H mode into 4 lane columns (fields from q list [w,x,y,z],
+    each 3-list of (1,T) int32, already swapped)."""
+    prec = m.base_bits
+    pmask = (1 << prec) - 1
+    fields = {}
+    names = ("w", "x", "y", "z")
+    for c, ch in enumerate(("r", "g", "b")):
+        fields[ch + "w"] = q[0][c] & pmask
+        dmask = (1 << m.delta_bits[c]) - 1
+        for j in (1, 2, 3):
+            if m.transformed:
+                fields[ch + names[j]] = (q[j][c] - q[0][c]) & dmask
+            else:
+                fields[ch + names[j]] = q[j][c] & dmask
+    z = jnp.zeros_like(shape, U32)
+    cols = [z, z, z, z]
+    cols = _put(cols, jnp.zeros_like(shape) + m.code, 0, m.code_bits)
+    for field, src, dst, nbits in LAYOUTS[m.mode]:
+        piece = (fields[field] >> src) & ((1 << nbits) - 1)
+        cols = _put(cols, piece, dst, nbits)
+    if m.regions == 2:
+        cols = _put(cols, shape, TWO_REGION_SHAPE_BIT, 5)
+        acc = [z, z, z, z]
+        for a in _ANCHOR_CLASSES:
+            cls = [z, z, z, z]
+            pos = TWO_REGION_INDEX_BIT
+            for p in range(16):
+                nb = 2 if p in (0, a) else 3
+                cls = _put(cls, idx[p:p + 1], pos, nb)
+                pos += nb
+            match = anchor == a
+            acc = [jnp.where(match, x | y, x) for x, y in zip(acc, cls)]
+        cols = [x | y for x, y in zip(cols, acc)]
+    else:
+        pos = ONE_REGION_INDEX_BIT
+        cols = _put(cols, idx[0:1], pos, 3)
+        pos += 3
+        for p in range(1, 16):
+            cols = _put(cols, idx[p:p + 1], pos, 4)
+            pos += 4
+    return cols
+
+
+# ---------------------------------------------------------------- kernel ---
+def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
+                 iters, mode_mask):
+    h = [h_ref[16 * c:16 * (c + 1), :] for c in range(3)]
+    us = [u_ref[16 * c:16 * (c + 1), :] for c in range(3)]
+
+    ests = _estimate_shapes(us)
+    shape_ids = _topk_ids(ests, topk)
+
+    best = None
+    # ---- 2-region candidates
+    for sid in shape_ids:
+        bits_sel = _sel_by_id(sid, list(P2[:32]))
+        sub_rows0 = [((bits_sel >> p) & 1) == 0 for p in range(16)]
+        anchor = _sel_by_id(sid, list(ANCHOR2[:32]))
+        m0 = [r.astype(F32) for r in sub_rows0]
+        m1 = [(1.0 - r) for r in m0]
+        e00, e01 = _fit_masked(us, m0, LV3, iters)
+        e10, e11 = _fit_masked(us, m1, LV3, iters)
+        for mi, m in enumerate(BC6H_MODES):
+            if m.regions != 2 or not (mode_mask >> (m.mode - 1)) & 1:
+                continue
+            prec = m.base_bits
+            q = [[_quantize(e[c], prec, signed) for c in range(3)]
+                 for e in (e00, e01, e10, e11)]
+            m0cat = jnp.concatenate(m0, axis=0)
+            m1cat = jnp.concatenate(m1, axis=0)
+            idx0, err0 = _palette_err(h, m0cat, q[0], q[1], prec, signed,
+                                      WEIGHTS3)
+            idx1, err1 = _palette_err(h, m1cat, q[2], q[3], prec, signed,
+                                      WEIGHTS3)
+            err = err0 + err1
+            in0 = jnp.concatenate([r.astype(I32) for r in sub_rows0], axis=0)
+            idx = jnp.where(in0 > 0, idx0, idx1)
+            idx, qs = _swap2(idx, sub_rows0, anchor, q, 3)
+            if m.transformed:
+                ok = None
+                for j in (1, 2, 3):
+                    d = [qs[j][c] - qs[0][c] for c in range(3)]
+                    o = _delta_ok3(d, m.delta_bits)
+                    ok = o if ok is None else ok & o
+                err = jnp.where(ok, err, jnp.float32(3.4e38))
+            cand = dict(err=err, mi=jnp.zeros_like(err, I32) + mi,
+                        shape=sid, anchor=anchor, q=qs, idx=idx)
+            best = _merge(best, cand)
+
+    # ---- 1-region candidates
+    ones = [jnp.ones_like(us[0][0:1]) for _ in range(16)]
+    e0, e1 = _fit_masked(us, ones, LV4, iters)
+    zero = jnp.zeros_like(us[0][0:1], I32)
+    for mi, m in enumerate(BC6H_MODES):
+        if m.regions != 1 or not (mode_mask >> (m.mode - 1)) & 1:
+            continue
+        prec = m.base_bits
+        q0 = [_quantize(e0[c], prec, signed) for c in range(3)]
+        q1 = [_quantize(e1[c], prec, signed) for c in range(3)]
+        idx, err = _palette_err(h, None, q0, q1, prec, signed, WEIGHTS4)
+        # anchor pixel 0 swap
+        need = (idx[0:1] & 8) != 0
+        idx = jnp.where(need, 15 - idx, idx)
+        q0n = [jnp.where(need, b, a) for a, b in zip(q0, q1)]
+        q1n = [jnp.where(need, a, b) for a, b in zip(q0, q1)]
+        qs = [q0n, q1n, q0n, q1n]
+        if m.transformed:
+            d = [q1n[c] - q0n[c] for c in range(3)]
+            ok = _delta_ok3(d, m.delta_bits)
+            err = jnp.where(ok, err, jnp.float32(3.4e38))
+        cand = dict(err=err, mi=jnp.zeros_like(err, I32) + mi,
+                    shape=zero, anchor=zero, q=qs, idx=idx)
+        best = _merge(best, cand)
+
+    # ---- pack the winner (lane-select over modes)
+    z = jnp.zeros_like(best["err"], U32)
+    cols = [z, z, z, z]
+    for mi, m in enumerate(BC6H_MODES):
+        if not (mode_mask >> (m.mode - 1)) & 1:
+            continue
+        cm = _pack_mode(m, best["shape"], best["anchor"], best["q"],
+                        best["idx"])
+        match = best["mi"] == mi
+        cols = [jnp.where(match, b, a) for a, b in zip(cols, cm)]
+    w0[:] = cols[0]
+    w1[:] = cols[1]
+    w2[:] = cols[2]
+    w3[:] = cols[3]
+    err_ref[:] = best["err"]
+
+
+def _merge(best, cand):
+    if best is None:
+        return cand
+    take = cand["err"] < best["err"]
+    out = {}
+    for k in best:
+        if k == "q":
+            out["q"] = [[jnp.where(take, a, b) for a, b in zip(ca, bb)]
+                        for ca, bb in zip(cand["q"], best["q"])]
+        else:
+            out[k] = jnp.where(take, cand[k], best[k])
+    return out
+
+
+def _budgets(quality: float):
+    if quality <= 0.3:
+        return 2, 1
+    if quality <= 0.7:
+        return 3, 2
+    return 4, 2
+
+
+@partial(jax.jit, static_argnames=("signed", "mode_mask", "quality", "tile"))
+def encode_bc6h_blocks_pallas(blocks: jnp.ndarray, *, signed: bool = False,
+                              mode_mask: int = 0xFFFF, quality: float = 1.0,
+                              tile: int = TILE):
+    """(N,16,3) float32 HDR blocks -> ((N,4) uint32, (N,) err)."""
+    n = blocks.shape[0]
+    npad = -n % tile
+    x = blocks[..., :3].astype(F32)
+    if npad:
+        x = jnp.concatenate([x, jnp.zeros((npad, 16, 3), F32)], axis=0)
+    total = x.shape[0]
+    h = f32_to_half_int(x, signed)                  # (total,16,3) int32
+    u = _to_work(h, signed)                         # f32
+    ht = h.transpose(2, 1, 0).reshape(48, total)
+    ut = u.transpose(2, 1, 0).reshape(48, total)
+    topk, iters = _budgets(quality)
+    kern = partial(_bc6h_kernel, signed=signed, topk=topk, iters=iters,
+                   mode_mask=mode_mask)
+    interpret = jax.default_backend() == "cpu"
+    outs = pl.pallas_call(
+        kern,
+        grid=(total // tile,),
+        in_specs=[pl.BlockSpec((48, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((48, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=tuple(
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((1, total), U32)] * 4
+            + [jax.ShapeDtypeStruct((1, total), F32)]),
+        interpret=interpret,
+    )(ht, ut)
+    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
+    return words, outs[4][0, :n]
