@@ -161,10 +161,11 @@ def main():
     try:
         if time_left() < 120:
             raise TimeoutError("budget: skipping bc7 full")
-        from gfx_imagecompress_tpu.kernels.bc7_full import encode_bc7_blocks
-        b4k = b1k[:4096]
-        dt = _marginal_time(encode_bc7_blocks, b4k, n_lo=1, n_hi=3)
-        results["bc7_full_mtexels_per_s"] = 4096 * 16 / dt / 1e6
+        from gfx_imagecompress_tpu.kernels.bc7_full_pallas import (
+            encode_bc7_blocks_pallas)
+        b16k = b1k[:16384]
+        dt = _marginal_time(encode_bc7_blocks_pallas, b16k, n_lo=1, n_hi=3)
+        results["bc7_full_mtexels_per_s"] = 16384 * 16 / dt / 1e6
     except Exception as e:
         results["bc7_full_error"] = repr(e)
 

@@ -153,16 +153,15 @@ def compress_amd_bc7(src: Image,
     multi-mode search at quality 1.0 defaults."""
     from functools import partial as _partial
 
-    from .kernels import bc7_full as _bc7
+    from .kernels.bc7_full_pallas import encode_bc7_blocks_pallas
     from .pipeline.chunking import encode_chunked
     amd = amd_options or AMDBackendOptions()
     opt = bc7_options or BC7Options(mode_mask=amd.mode_mask)
     blocks = image_to_blocks(src.data)
-    has_alpha = src.channels >= 4
     words, _ = encode_chunked(
-        _partial(_bc7.encode_bc7_blocks, quality=opt.quality,
-                 mode_mask=opt.mode_mask, src_has_alpha=has_alpha),
-        _rgba(blocks))
+        _partial(encode_bc7_blocks_pallas, quality=opt.quality,
+                 mode_mask=opt.mode_mask),
+        _rgba(blocks), chunk=65536)
     fmt = BlockFormat.BC7_SRGB if src.srgb else BlockFormat.BC7_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
                            src.slices)

@@ -56,11 +56,15 @@ def _lerp64(a, b, w):
 def _sel_by_id(pid, table):
     """Per-lane gather from a small static table via select chain.
 
-    pid (1,T) int32, table: python ints -> (1,T) int32.
+    pid (1,T) int32, table: python ints -> (1,T) int32. Values above 2^31
+    (packed 3-subset partition masks) wrap to two's complement; later
+    ``(v >> k) & m`` extractions are unaffected.
     """
     out = jnp.zeros_like(pid)
     for p, v in enumerate(table):
         if v:
+            if v >= (1 << 31):
+                v -= 1 << 32
             out = jnp.where(pid == p, v, out)
     return out
 

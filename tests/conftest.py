@@ -18,6 +18,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between modules.
+
+    The suite compiles dozens of very large XLA CPU programs (interpret-mode
+    Pallas kernels); letting them accumulate in one process has produced
+    segfaults inside backend_compile_and_load late in the run."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
