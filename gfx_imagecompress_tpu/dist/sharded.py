@@ -68,6 +68,33 @@ def shard_encode(encode_fn: Callable, blocks: jnp.ndarray, mesh: Mesh,
     return words[:n], err[:n], mse
 
 
+def shard_encode_pallas(encode_fn: Callable, blocks: jnp.ndarray, mesh: Mesh,
+                        axis_name: str = "b"):
+    """shard_map a fused Pallas encoder: each device runs its own kernel on
+    its block shard (no communication — blocks are independent), errors
+    psum to a replicated scalar. Bit-identical to the single-device kernel.
+    """
+    from jax.sharding import PartitionSpec
+
+    nd = mesh.devices.size
+    padded, n = pad_to_multiple(blocks, nd)
+    sharding = NamedSharding(mesh, P(axis_name))
+    padded = jax.device_put(padded, sharding)
+    p = PartitionSpec(axis_name)
+
+    local = jax.shard_map(encode_fn, mesh=mesh, in_specs=p,
+                          out_specs=(p, p), check_vma=False)
+
+    @jax.jit
+    def run(x):
+        words, err = local(x)
+        return words, err, jnp.sum(err)
+
+    words, err, total = run(padded)
+    mse = total / (blocks.shape[0] * blocks.shape[1])
+    return words[:n], err[:n], mse
+
+
 def gather_words(words: jnp.ndarray) -> np.ndarray:
     """All-gather the packed block stream to the host (deterministic
     block->shard mapping means assembly is a plain reshape, SURVEY.md §5)."""

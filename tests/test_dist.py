@@ -46,3 +46,21 @@ def test_sharded_bc4():
     ref_words, _ = encode_bc4_blocks(blocks)
     words, err, _ = shard_encode(encode_bc4_blocks, blocks, make_mesh())
     np.testing.assert_array_equal(gather_words(words), np.asarray(ref_words))
+
+
+def test_sharded_pallas_bc1_matches_single_device():
+    """Fused Pallas kernel under shard_map: per-device kernels, no comms."""
+    from functools import partial
+
+    from gfx_imagecompress_tpu.dist.sharded import shard_encode_pallas
+    from gfx_imagecompress_tpu.kernels.bc1_pallas import (
+        encode_bc1_blocks_pallas)
+
+    img = photo_rgba(32, 32, seed=24)
+    blocks = image_to_blocks(jnp.asarray(img[None]))
+    enc = partial(encode_bc1_blocks_pallas, tile=8)
+    ref_words, ref_err = enc(blocks)
+    words, err, mse = shard_encode_pallas(enc, blocks, make_mesh())
+    np.testing.assert_array_equal(gather_words(words), np.asarray(ref_words))
+    expect = float(np.asarray(ref_err).sum()) / (blocks.shape[0] * 16)
+    np.testing.assert_allclose(float(mse), expect, rtol=1e-5)
