@@ -1,176 +1,16 @@
-"""Benchmark harness — BASELINE.json configs on the available backend.
+"""Repo-root bench shim — the driver entry point.
 
-Prints ONE JSON line: the headline metric (BC1 encode throughput per chip,
-Mtexel/s; vs_baseline is the ratio against the 1 Gtexel/s north-star
-target). Full per-config results are written to bench_results.json.
-
-Methodology: the dev tunnel to the TPU adds ~30 ms of fixed round-trip
-latency per fetch and block_until_ready returns at enqueue, so wall-clock
-loops are meaningless. Instead each encoder is wrapped in an on-device
-``lax.fori_loop`` (input perturbed per iteration to defeat hoisting, result
-folded into a checksum) and timed at two trip counts; the *marginal* time
-per iteration is pure device compute — the number that matters for batched
-production serving.
+The real harness lives in :mod:`gfx_imagecompress_tpu.bench` (also runnable
+as ``python -m gfx_imagecompress_tpu.bench`` once the package is installed).
+Prints ONE JSON line with the headline metric; see that module's docstring
+for the marginal-timing methodology.
 """
-import json
+import os
 import sys
-import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def _emit(results, bc1_mts):
-    with open("bench_results.json", "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps({
-        "metric": "bc1_encode_throughput",
-        "value": round(bc1_mts, 1),
-        "unit": "Mtexels/s/chip",
-        "vs_baseline": round(bc1_mts / 1000.0, 4),
-    }))
-    for k, v in results.items():
-        print(f"  {k}: {v}", file=sys.stderr)
-
-
-def _marginal_time(encode, blocks, n_lo=1, n_hi=5, reps=3):
-    """Marginal per-iteration device time of ``encode(blocks)``."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(b, n):
-        def body(i, acc):
-            w, _ = encode(b + (i % 2).astype(b.dtype) * 1e-7)
-            return acc ^ w[0, 0]
-        return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
-
-    _ = np.asarray(run(blocks, 1))  # compile + warm
-
-    def measure(lo, hi):
-        times = {}
-        for n in (lo, hi):
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                _ = np.asarray(run(blocks, n))
-                best = min(best, time.perf_counter() - t0)
-            times[n] = best
-        return (times[hi] - times[lo]) / (hi - lo)
-
-    dt = measure(n_lo, n_hi)
-    if dt < 1e-3:  # below tunnel noise: re-measure with many more trips
-        dt = measure(10, 110)
-    return max(dt, 1e-9)
-
-
-def main():
-    import os
-    import jax
-    import jax.numpy as jnp
-
-    deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 460))
-
-    def time_left():
-        return deadline - time.monotonic()
-
-    from gfx_imagecompress_tpu.kernels.bc1_pallas import (
-        encode_bc1_blocks_pallas)
-    from gfx_imagecompress_tpu.kernels.bc4 import encode_bc2_alpha_blocks
-    from gfx_imagecompress_tpu.kernels.bc4_pallas import (
-        encode_bc4_blocks_pallas)
-    from gfx_imagecompress_tpu.kernels.bc7_fast_pallas import (
-        encode_bc7_fast_blocks_pallas)
-    from gfx_imagecompress_tpu.pipeline.blocks import image_to_blocks
-
-    rng = np.random.default_rng(0)
-    results = {"device": str(jax.devices()[0])}
-
-    def photo(h, w, c=4):
-        y, x = np.mgrid[0:h, 0:w].astype(np.float32)
-        img = np.stack([np.sin(x * 0.05) * 0.4 + 0.5,
-                        np.cos(y * 0.04) * 0.4 + 0.5,
-                        np.sin((x + y) * 0.03) * 0.3 + 0.5,
-                        np.ones_like(x)], -1)[..., :c]
-        img += rng.normal(0, 0.01, img.shape).astype(np.float32)
-        return np.clip(img, 0, 1).astype(np.float32)
-
-    # --- config 1: BC1, 256x256 content (batched x64 = 262144 blocks) ---
-    imgs = jnp.asarray(np.stack([photo(256, 256)] * 64))
-    blocks = image_to_blocks(imgs)
-    dt = _marginal_time(encode_bc1_blocks_pallas, blocks)
-    texels = 64 * 256 * 256
-    bc1_mts = texels / dt / 1e6
-    results["bc1_256_mtexels_per_s"] = bc1_mts
-
-    # --- config 2: BC4/BC5 512x512 gray/normal maps ---
-    if time_left() < 60:
-        results["skipped_after"] = "bc1"
-        return _emit(results, bc1_mts)
-    g = image_to_blocks(jnp.asarray(photo(512, 512, 4)[None]))[:, :, 0]
-    dt = _marginal_time(encode_bc4_blocks_pallas, g)
-    results["bc4_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
-
-    # --- config 3: BC2/BC3 1K RGBA ---
-    if time_left() < 90:
-        results["skipped_after"] = "bc4"
-        return _emit(results, bc1_mts)
-    b1k = image_to_blocks(jnp.asarray(photo(1024, 1024)[None]))
-
-    def bc3(b):
-        cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
-        aw, ae = encode_bc4_blocks_pallas(b[:, :, 3])
-        return jnp.concatenate([aw, cw], 1), ce + ae
-
-    def bc2(b):
-        cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
-        aw, ae = encode_bc2_alpha_blocks(b[:, :, 3])
-        return jnp.concatenate([aw, cw], 1), ce + ae
-
-    dt = _marginal_time(bc3, b1k)
-    results["bc3_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
-    dt = _marginal_time(bc2, b1k)
-    results["bc2_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
-
-    # --- config 4: BC6H 1K RGBA16F (signed + unsigned) ---
-    try:
-        if time_left() < 150:
-            raise TimeoutError("budget: skipping bc6h")
-        from functools import partial
-
-        from gfx_imagecompress_tpu.kernels.bc6h_pallas import (
-            encode_bc6h_blocks_pallas)
-        hdr = np.exp(photo(1024, 1024, 3).astype(np.float32) * 4.0)
-        bh = image_to_blocks(jnp.asarray(hdr[None]))
-        for signed in (False, True):
-            fn = partial(encode_bc6h_blocks_pallas, signed=signed)
-            dt = _marginal_time(fn, bh, n_lo=1, n_hi=3)
-            key = ("bc6h_1k_%s_mtexels_per_s"
-                   % ("snorm" if signed else "ufloat"))
-            results[key] = 1024 * 1024 / dt / 1e6
-    except Exception as e:  # keep the headline alive if BC6H regresses
-        results["bc6h_error"] = repr(e)
-
-    # --- config 5: BC7 (fast on 1K; full search at max quality, one slab) ---
-    if time_left() < 90:
-        results["skipped_after"] = "bc6h"
-        return _emit(results, bc1_mts)
-    from functools import partial as _p
-    dt = _marginal_time(_p(encode_bc7_fast_blocks_pallas, fast=True,
-                           perceptual=False), b1k, n_lo=1, n_hi=3)
-    results["bc7_fast_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
-    try:
-        if time_left() < 120:
-            raise TimeoutError("budget: skipping bc7 full")
-        from gfx_imagecompress_tpu.kernels.bc7_full_pallas import (
-            encode_bc7_blocks_pallas)
-        b16k = b1k[:16384]
-        dt = _marginal_time(encode_bc7_blocks_pallas, b16k, n_lo=1, n_hi=3)
-        results["bc7_full_mtexels_per_s"] = 16384 * 16 / dt / 1e6
-    except Exception as e:
-        results["bc7_full_error"] = repr(e)
-
-    return _emit(results, bc1_mts)
-
+from gfx_imagecompress_tpu.bench import main
 
 if __name__ == "__main__":
     main()
