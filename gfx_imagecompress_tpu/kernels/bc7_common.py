@@ -150,31 +150,35 @@ def pack_dual(mode: BC7Mode, rotation, idx_mode, qc0, qc1, qa0, qa1,
               cidx, aidx):
     """Pack a dual-index mode (4/5) block.
 
-    rotation (N,), idx_mode (N,) (mode 4; pass zeros for mode 5),
-    qc0/qc1 (N,3) colour endpoint fields, qa0/qa1 (N,) alpha fields,
-    cidx (N,16) indices of the FIRST index field (width mode.index_bits),
-    aidx (N,16) indices of the SECOND index field (width mode.index_bits2).
-    Caller orients so the first field drives colour when idx_mode == 0
-    (the decode convention). Anchor for both sets is pixel 0.
+    rotation (N,), idx_mode (N,) (mode 4 index-selection bit; pass zeros for
+    mode 5), qc0/qc1 (N,3) colour endpoint fields, qa0/qa1 (N,) alpha
+    fields, cidx (N,16) indices of the FIRST stored field (width
+    mode.index_bits), aidx (N,16) indices of the SECOND stored field (width
+    mode.index_bits2). Decode convention (decode/bc7.py:164-176): field 1
+    drives colour when idx_mode == 0 and alpha when idx_mode == 1 — so each
+    field's anchor fixup swaps the endpoint pair that field drives
+    (EncodeDualIndexBlock semantics, amd_bc7_body.cpp:937-988).
+    Anchor for both sets is pixel 0.
     """
     n = rotation.shape[0]
-    # independent fixups: first set swaps colour endpoints, second swaps alpha
+    sel1 = (idx_mode == 0)[:, None]      # field1 drives colour?
     msb1 = 1 << (mode.index_bits - 1)
     comp1 = (1 << mode.index_bits) - 1
     need = (cidx[:, 0] & msb1) != 0
     cidx = jnp.where(need[:, None], comp1 - cidx, cidx)
-    sw = need[:, None]
-    qc0, qc1 = (jnp.where(sw, qc1, qc0), jnp.where(sw, qc0, qc1))
+    sw_c1 = need[:, None] & sel1         # field1 flip hits colour endpoints
+    sw_a1 = need & ~sel1[:, 0]           # ... or alpha endpoints
+    qc0, qc1 = (jnp.where(sw_c1, qc1, qc0), jnp.where(sw_c1, qc0, qc1))
+    qa0, qa1 = (jnp.where(sw_a1, qa1, qa0), jnp.where(sw_a1, qa0, qa1))
     msb2 = 1 << (mode.index_bits2 - 1)
     comp2 = (1 << mode.index_bits2) - 1
     need2 = (aidx[:, 0] & msb2) != 0
     aidx = jnp.where(need2[:, None], comp2 - aidx, aidx)
-    qa0, qa1 = (jnp.where(need2, qa1, qa0), jnp.where(need2, qa0, qa1))
+    sw_a2 = need2 & sel1[:, 0]           # field2 drives the other pair
+    sw_c2 = need2[:, None] & ~sel1
+    qa0, qa1 = (jnp.where(sw_a2, qa1, qa0), jnp.where(sw_a2, qa0, qa1))
+    qc0, qc1 = (jnp.where(sw_c2, qc1, qc0), jnp.where(sw_c2, qc0, qc1))
 
-    # idx_mode==1 (mode 4) would flip which endpoint pair each fixup swaps;
-    # this framework's encoders always emit idx_mode 0 (colour on the wider
-    # 3-bit field never pays off under the search used), so packing assumes
-    # field0 -> colour ownership.
     sink = bitpack.Sink(n, 4)
     sink.put(jnp.full((n,), 1 << mode.mode, I32), 0, mode.mode + 1)
     pos = mode.mode + 1

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tables.bc7_tables import (BC7_MODES, WEIGHTS_BY_BITS, partition_table)
-from .bc7_common import (pack_dual, pack_single, palette, quantize_pbit,
-                         quantize_plain)
+from .bc7_common import (_expand, pack_dual, pack_single, palette,
+                         quantize_pbit, quantize_plain)
 from .common import assign_nearest, fit_line_iterative, lsq_refit
 
 F32 = jnp.float32
@@ -136,7 +136,98 @@ def _quant_subset(pts, m, mode, e0, e1, weights):
     return best
 
 
-def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2):
+_SHAKE_DELTAS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                 (1, -1), (1, 0), (1, 1))
+
+
+def _deq_channel(q, p, bits: int, has_p: bool):
+    if has_p:
+        return _expand((q << 1) | p, bits + 1)
+    return _expand(q, bits)
+
+
+def _shake_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
+                  rounds: int):
+    """Quantized-space endpoint shaker — ep_shaker_2_d's shake-cube analog
+    (amd_shake.cpp:898-1044) as fixed-shape sweeps.
+
+    Holds the current index assignment fixed and sweeps each channel's
+    endpoint code pair over a +-1 cube (the reference sweeps a
+    quality-scaled cube per channel with the same fixed cidx, :923-945),
+    picks the per-channel argmin, re-races the p-bit combination, then
+    requantizes the indices against the decoded ramp (:980-1018) and
+    iterates.  All candidate evaluation is against the exact decode palette,
+    so the error is decode-true at every step.
+
+    pts (N,16,C); m (N,16) subset mask; q0/q1 (N,C) component codes
+    (pbit excluded); p0/p1 (N,) pbit values; idx (N,16) current indices.
+    Returns (err, q0, q1, p0, p1, idx).
+    """
+    chans = pts.shape[-1]
+    has_p = mode.pbit_mode != "none"
+    wtab = jnp.asarray(WEIGHTS_BY_BITS[mode.index_bits], I32)
+    for _ in range(rounds):
+        wk = wtab[idx]                                    # (N,16)
+        for c in range(chans):
+            bits = mode.colour_bits if c < 3 else mode.alpha_bits
+            maxq = (1 << bits) - 1
+            q0c = q0[..., c]
+            q1c = q1[..., c]
+            deq0 = _deq_channel(q0c, p0, bits, has_p)
+            deq1 = _deq_channel(q1c, p1, bits, has_p)
+            ramp = (deq0[:, None] * (64 - wk) + deq1[:, None] * wk + 32) >> 6
+            best_e = jnp.sum(m * (ramp.astype(F32) - pts[..., c]) ** 2,
+                             axis=-1)
+            best_q0c, best_q1c = q0c, q1c
+            for d0, d1 in _SHAKE_DELTAS:
+                nq0 = jnp.clip(q0c + d0, 0, maxq)
+                nq1 = jnp.clip(q1c + d1, 0, maxq)
+                deq0 = _deq_channel(nq0, p0, bits, has_p)
+                deq1 = _deq_channel(nq1, p1, bits, has_p)
+                ramp = (deq0[:, None] * (64 - wk) + deq1[:, None] * wk
+                        + 32) >> 6
+                e = jnp.sum(m * (ramp.astype(F32) - pts[..., c]) ** 2,
+                            axis=-1)
+                bt = e < best_e
+                best_e = jnp.where(bt, e, best_e)
+                best_q0c = jnp.where(bt, nq0, best_q0c)
+                best_q1c = jnp.where(bt, nq1, best_q1c)
+            q0 = q0.at[..., c].set(best_q0c)
+            q1 = q1.at[..., c].set(best_q1c)
+        # p-bit re-race + index requantize against the exact palette
+        combos = (((0, 0), (0, 1), (1, 0), (1, 1))
+                  if mode.pbit_mode == "per_endpoint" else
+                  ((0, 0), (1, 1)) if mode.pbit_mode == "shared"
+                  else ((None, None),))
+        best = None
+        for c0, c1 in combos:
+            np0 = p0 if c0 is None else jnp.full_like(p0, c0)
+            np1 = p1 if c1 is None else jnp.full_like(p1, c1)
+            d0 = jnp.stack(
+                [_deq_channel(q0[..., c], np0,
+                              mode.colour_bits if c < 3 else mode.alpha_bits,
+                              has_p) for c in range(chans)], -1)
+            d1 = jnp.stack(
+                [_deq_channel(q1[..., c], np1,
+                              mode.colour_bits if c < 3 else mode.alpha_bits,
+                              has_p) for c in range(chans)], -1)
+            pal = palette(d0, d1, mode.index_bits)
+            nidx, ne = assign_nearest(pts, pal, weights, m)
+            cand = (ne, np0, np1, nidx)
+            if best is None:
+                best = cand
+            else:
+                bt = cand[0] < best[0]
+                n = pts.shape[0]
+                best = tuple(
+                    jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), cc, b)
+                    for cc, b in zip(cand, best))
+        err, p0, p1, idx = best
+    return err, q0, q1, p0, p1, idx
+
+
+def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
+                       shake_rounds: int = 0):
     """Generic single-index mode encoder (modes 0,1,2,3,6,7).
 
     pts (N,16,C) with C=4 iff mode has alpha endpoints, else C=3.
@@ -169,6 +260,10 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2):
             e0, e1 = fit_line_iterative(pts, m, levels, iters, weights)
             err, q0, q1, p0, p1, idx = _quant_subset(
                 pts, m, mode, e0, e1, weights)
+            if shake_rounds:
+                err, q0, q1, p0, p1, idx = _shake_subset(
+                    pts, m, mode, q0, q1, p0, p1, idx, err, weights,
+                    shake_rounds)
             total = total + err
             q0l.append(q0)
             q1l.append(q1)
@@ -226,15 +321,29 @@ def _fit_scalar(vals, bits: int, index_bits: int, iters: int = 2):
     return err, q0, q1, idx
 
 
-def encode_dual_mode(pts, mode, weights):
-    """Modes 4/5: rotation race x separate RGB + scalar alpha fits.
+class _SubMode:
+    """Lightweight mode view for _shake_subset on dual-mode channel groups."""
 
-    pts (N,16,4) 0..255. idx_mode is always 0 (colour on the first field).
-    Returns (err, words). CompressDualIndexBlock analog
-    (amd_bc7_body.cpp:1059-1278) without the index-swap axis.
+    def __init__(self, colour_bits, alpha_bits, index_bits, pbit_mode):
+        self.colour_bits = colour_bits
+        self.alpha_bits = alpha_bits
+        self.index_bits = index_bits
+        self.pbit_mode = pbit_mode
+
+
+def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0):
+    """Modes 4/5: rotation race x index-selection race x separate RGB +
+    scalar alpha fits, each followed by the quantized-space shaker.
+
+    pts (N,16,4) 0..255. CompressDualIndexBlock analog
+    (amd_bc7_body.cpp:1059-1278) including the mode-4 ``indexSelection``
+    axis (:1099-1127): idx_mode==1 gives colour the 3-bit index set and
+    alpha the 2-bit set. Returns (err, words).
     """
     n = pts.shape[0]
     w4 = jnp.asarray(weights, F32)
+    zeros = jnp.zeros((n,), I32)
+    mask = jnp.ones((n, 16), F32)
     best = None
     for rot in range(4):
         perm = [0, 1, 2, 3]
@@ -243,50 +352,71 @@ def encode_dual_mode(pts, mode, weights):
         p = pts[..., perm]
         wp = w4[jnp.asarray(perm)]
         rgb, alpha = p[..., :3], p[..., 3]
-        mask = jnp.ones((n, 16), F32)
-        e0, e1 = fit_line_iterative(rgb, mask, LEVELS[mode.index_bits], 2,
-                                    wp[:3])
-        cbest = None
-        qs0, ds0, qs1, ds1 = [], [], [], []
-        for c in range(3):
-            q0c, d0c = quantize_plain(e0[..., c], mode.colour_bits)
-            q1c, d1c = quantize_plain(e1[..., c], mode.colour_bits)
-            qs0.append(q0c)
-            ds0.append(d0c)
-            qs1.append(q1c)
-            ds1.append(d1c)
-        pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1),
-                      mode.index_bits)
-        cidx, cerr = assign_nearest(rgb, pal, wp[:3], mask)
-        aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
-                                           mode.index_bits2)
-        err = cerr + aerr * wp[3]
-        cand = (err, jnp.full((n,), rot, I32), jnp.stack(qs0, -1),
-                jnp.stack(qs1, -1), qa0, qa1, cidx, aidx)
-        if best is None:
-            best = cand
-        else:
-            bt = cand[0] < best[0]
-            best = tuple(
-                jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
-                for c, b in zip(cand, best))
-    err, rot, qc0, qc1, qa0, qa1, cidx, aidx = best
-    words = pack_dual(mode, rot, jnp.zeros((n,), I32), qc0, qc1, qa0, qa1,
-                      cidx, aidx)
+        for sel in range(1 << mode.index_mode_bits):
+            cbits_idx = mode.index_bits2 if sel else mode.index_bits
+            abits_idx = mode.index_bits if sel else mode.index_bits2
+            e0, e1 = fit_line_iterative(rgb, mask, LEVELS[cbits_idx], 2,
+                                        wp[:3])
+            qs0, ds0, qs1, ds1 = [], [], [], []
+            for c in range(3):
+                q0c, d0c = quantize_plain(e0[..., c], mode.colour_bits)
+                q1c, d1c = quantize_plain(e1[..., c], mode.colour_bits)
+                qs0.append(q0c)
+                ds0.append(d0c)
+                qs1.append(q1c)
+                ds1.append(d1c)
+            qc0 = jnp.stack(qs0, -1)
+            qc1 = jnp.stack(qs1, -1)
+            pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1), cbits_idx)
+            cidx, cerr = assign_nearest(rgb, pal, wp[:3], mask)
+            if shake_rounds:
+                cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
+                cerr, qc0, qc1, _, _, cidx = _shake_subset(
+                    rgb, mask, cmode, qc0, qc1, zeros, zeros, cidx, cerr,
+                    wp[:3], shake_rounds)
+            aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
+                                               abits_idx)
+            if shake_rounds:
+                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
+                aerr, qa0v, qa1v, _, _, aidx = _shake_subset(
+                    alpha[..., None], mask, amode, qa0[..., None],
+                    qa1[..., None], zeros, zeros, aidx, aerr,
+                    jnp.ones((1,), F32), shake_rounds)
+                qa0 = qa0v[..., 0]
+                qa1 = qa1v[..., 0]
+            err = cerr + aerr * wp[3]
+            # field1 stores the index_bits-wide set, field2 the other one
+            if sel:
+                f1idx, f2idx = aidx, cidx
+            else:
+                f1idx, f2idx = cidx, aidx
+            cand = (err, jnp.full((n,), rot, I32),
+                    jnp.full((n,), sel, I32), qc0, qc1, qa0, qa1,
+                    f1idx, f2idx)
+            if best is None:
+                best = cand
+            else:
+                bt = cand[0] < best[0]
+                best = tuple(
+                    jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+                    for c, b in zip(cand, best))
+    err, rot, sel, qc0, qc1, qa0, qa1, f1idx, f2idx = best
+    words = pack_dual(mode, rot, sel, qc0, qc1, qa0, qa1, f1idx, f2idx)
     return err, words
 
 
 def _budgets(quality: float):
-    """quality -> (partition shortlist len, topk, fit iters). Mirrors the
-    FAST/HIGHQUALITY threshold mapping (amd_bc7_body.cpp:258-262,
-    hpp:108-148) as static trace-time budgets."""
+    """quality -> (partition shortlist len, topk, fit iters, shake rounds).
+    Mirrors the FAST/HIGHQUALITY threshold mapping (amd_bc7_body.cpp:258-262,
+    hpp:108-148) as static trace-time budgets; shake rounds play the role of
+    the reference's numShakeAttempts/maxTry iteration (bc7_body:695-709)."""
     if quality <= 0.25:
-        return 16, 1, 1
+        return 16, 1, 1, 0
     if quality <= 0.5:
-        return 32, 2, 2
+        return 32, 2, 2, 1
     if quality <= 0.75:
-        return 64, 3, 2
-    return 64, 4, 3
+        return 64, 3, 2, 1
+    return 64, 4, 3, 2
 
 
 @partial(jax.jit, static_argnames=("quality", "mode_mask", "src_has_alpha",
@@ -305,7 +435,7 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
     pts = blocks.astype(F32) * 255.0
     n = pts.shape[0]
     w = (1.0, 1.0, 1.0, 1.0)
-    nparts, topk, iters = _budgets(quality)
+    nparts, topk, iters, shake = _budgets(quality)
     plist = tuple(range(nparts))
     plist16 = tuple(range(min(nparts, 16)))
 
@@ -318,15 +448,17 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
         if not (mode_mask >> m.mode) & 1:
             continue
         if m.mode in (4, 5):
-            err, wd = encode_dual_mode(pts, m, w)
+            err, wd = encode_dual_mode(pts, m, w, shake_rounds=shake)
         elif m.alpha_bits:  # modes 6, 7
             err, wd = encode_single_mode(
                 pts, m, jnp.asarray(w, F32),
-                plist16 if m.mode == 0 else plist, topk, iters)
+                plist16 if m.mode == 0 else plist, topk, iters,
+                shake_rounds=shake)
         else:               # modes 0-3: opaque; charge true alpha error
             err, wd = encode_single_mode(
                 pts[..., :3], m, jnp.asarray(w[:3], F32),
-                plist16 if m.mode == 0 else plist, topk, iters)
+                plist16 if m.mode == 0 else plist, topk, iters,
+                shake_rounds=shake)
             err = err + alpha_pen
         errs.append(err)
         words_list.append(wd)

@@ -43,6 +43,8 @@ MAX_TRY = 20                  # amd_bc7_3dquant_vpc.cpp:30
 
 # 6-bit BC7 interpolation weights by clog (amd_bc7_body.cpp:123-141)
 _WEIGHTS = {
+    0: np.array([0.0], np.float64),
+    1: np.array([0.0, 1.0], np.float64),
     2: np.array([0, 21, 43, 64], np.float64) / 64.0,
     3: np.array([0, 9, 18, 27, 37, 46, 55, 64], np.float64) / 64.0,
     4: np.array([0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64],
