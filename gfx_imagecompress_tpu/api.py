@@ -47,21 +47,14 @@ def compress_amd_bc1(src: Image,
     opt = options or BC1Options()
     blocks = image_to_blocks(src.data)
     use_alpha = opt.use_alpha and src.channels >= 4
-    if use_alpha:
-        # punch-through path stays on the XLA kernel (transparent-index
-        # masking); opaque content takes the fused Pallas kernel below
-        words, _ = _bc1.encode_bc1_blocks(
-            blocks, alpha_threshold=opt.alpha_threshold / 255.0,
-            use_alpha=True,
-            refinement_steps=amd.refinement_steps,
-            b3d_refinement=amd.b3d_refinement,
-            weights=_weights(amd, blocks))
-    else:
-        from .kernels.bc1_pallas import encode_bc1_blocks_pallas
-        words, _ = encode_bc1_blocks_pallas(
-            blocks, weights=_weights(amd, blocks),
-            iters=2 + amd.refinement_steps,
-            passes=2 if amd.b3d_refinement else 1)
+    from .kernels.bc1_pallas import encode_bc1_blocks_pallas
+    words, _ = encode_bc1_blocks_pallas(
+        blocks, weights=PERCEPTUAL_WEIGHTS,
+        iters=2 + amd.refinement_steps,
+        passes=2 if amd.b3d_refinement else 1,
+        use_alpha=use_alpha,
+        alpha_threshold=float(opt.alpha_threshold) / 255.0,
+        adaptive=amd.adaptive_colour_weights)
     fmt = BlockFormat.BC1_SRGB if src.srgb else BlockFormat.BC1_UNORM
     return CompressedImage(_grid(src, words, 2), fmt, src.width, src.height,
                            src.slices)
@@ -271,25 +264,11 @@ def _rgb_colour_words(blocks, amd: AMDBackendOptions):
     order, so the mode race is disabled)."""
     from .kernels.bc1_pallas import encode_bc1_blocks_pallas
     return encode_bc1_blocks_pallas(
-        blocks, weights=_weights(amd, blocks),
+        blocks, weights=PERCEPTUAL_WEIGHTS,
         iters=2 + amd.refinement_steps,
         passes=2 if amd.b3d_refinement else 1,
-        allow_three=False)
-
-
-def _weights(amd: AMDBackendOptions, blocks) -> tuple:
-    """Perceptual channel weights; the adaptive path is computed per-image
-    (mean-luma skew) — a *fixed* correct version of the broken per-block
-    adaptive path (block_utils.cpp:176-211, reads uninitialized memory)."""
-    if not amd.adaptive_colour_weights:
-        return PERCEPTUAL_WEIGHTS
-    import numpy as np
-    m = np.asarray(jnp.mean(blocks[..., :3], axis=(0, 1)))
-    largest = float(max(m.max(), 1e-6))
-    skew = m / largest
-    w = np.asarray(PERCEPTUAL_WEIGHTS) * (3.0 * skew + 1.0) * 0.25
-    w = w / w.sum()
-    return tuple(float(x) for x in w)
+        allow_three=False,
+        adaptive=amd.adaptive_colour_weights)
 
 
 def _alpha_channel(blocks):

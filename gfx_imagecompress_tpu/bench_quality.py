@@ -94,7 +94,10 @@ def ref_encode(codec, opts, blocks, procs=None):
     if procs == 1:
         outs = [_ref_chunk(a) for a in args]
     else:
-        with multiprocessing.Pool(procs) as pool:
+        # spawn, not fork: the package __init__ imports jax (multithreaded)
+        # before the first pool is created, and fork would deadlock.
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(procs) as pool:
             outs = pool.map(_ref_chunk, args)
     return np.concatenate(outs)
 

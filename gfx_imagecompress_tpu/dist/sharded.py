@@ -99,3 +99,44 @@ def gather_words(words: jnp.ndarray) -> np.ndarray:
     """All-gather the packed block stream to the host (deterministic
     block->shard mapping means assembly is a plain reshape, SURVEY.md §5)."""
     return np.asarray(jax.device_get(words))
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> bool:
+    """Initialize ``jax.distributed`` for a multi-host pod slice.
+
+    Reads the standard cluster env (or the explicit arguments) and calls
+    ``jax.distributed.initialize`` so that ``jax.devices()`` spans the full
+    slice and the DCN-crossing collectives of shard_encode* become legal.
+    Safe no-op returning False when the environment is single-process —
+    the same code path then runs ICI-only on the local chips (SURVEY.md §5
+    "distributed communication backend").
+    """
+    import os
+    if num_processes is None:
+        env = os.environ.get("JAX_NUM_PROCESSES")
+        num_processes = int(env) if env else None
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if (num_processes is None or num_processes <= 1) \
+            and coordinator_address is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def gather_words_global(words: jnp.ndarray) -> np.ndarray:
+    """Host-0-complete gather of a sharded word stream.
+
+    Single-process: a device_get. Multi-host (after init_multihost): a
+    ``process_allgather`` over DCN so every host — in particular host 0,
+    which writes the DDS — holds the full stream. The block->shard mapping
+    is deterministic (pad + equal split), so assembly stays a reshape.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(words))
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(words, tiled=True))

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from .. import bitpack
 from ..decode.bcn import expand_565
 from ..options import PERCEPTUAL_WEIGHTS
-from .common import assign_nearest, fit_line_iterative
+from .common import (assign_nearest, fit_line_iterative, lsq_refit,
+                     principal_axis, project_extents)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -114,12 +115,83 @@ def pack_565(q: jnp.ndarray) -> jnp.ndarray:
     return (q[..., 0] << 11) | (q[..., 1] << 5) | q[..., 2]
 
 
+def _ramp_position_sweep(t, mask, tmin, tmax, levels):
+    """8x8 endpoint-position grid search along the projection axis.
+
+    The CompressRGBBlockX position sweep (amd_bcx_body.cpp:956-1008): the
+    projection range is widened by 12.5% each side, then all 64 (lo, hi)
+    pairs on a 0.025-normalized grid (with 2-step overshoot past the data
+    bounds) are scored by 1-D nearest-ramp-level error. The normalized grid
+    positions are constants, so this is a fully static 64-candidate race.
+    t (N,16) projections; returns (lo, hi) (N,1) best positions.
+    """
+    lv = jnp.asarray(levels, F32)
+    span = tmax - tmin                              # (N,1)
+    scl0 = tmin - span * 0.125
+    s = span * 1.25
+    best = None
+    for l in range(8):
+        for h in range(8):
+            lp = 0.1 - 2 * 0.025 + l * 0.025        # ls + l*stp
+            hp = 0.9 + 2 * 0.025 - h * 0.025        # he - h*stp
+            lo = scl0 + lp * s
+            hi = scl0 + hp * s
+            pal_t = lo + lv[None, :] * (hi - lo)    # (N,K)
+            d = (t[:, :, None] - pal_t[:, None, :]) ** 2
+            e = jnp.sum(jnp.min(d, axis=-1) * mask, axis=-1)
+            cand = (e, lo, hi)
+            if best is None:
+                best = cand
+            else:
+                bt = cand[0] < best[0]
+                best = tuple(jnp.where(bt[:, None] if b.ndim == 2 else bt,
+                                       c, b) for c, b in zip(cand, best))
+    return best[1], best[2]
+
+
 def _fit_mode(pts, mask, four: bool, weights, iters: int,
               refine_passes: int):
     levels = LEVELS4 if four else LEVELS3
-    e0, e1 = fit_line_iterative(pts, mask, levels, iters, weights)
-    q0 = quantize_565(e0)
-    q1 = quantize_565(e1)
+    lv = jnp.asarray(levels, F32)
+    mean, axis = principal_axis(pts, mask)
+    t, tmin, tmax = project_extents(pts, mask, mean, axis)
+
+    cands = []
+    lo_sw, hi_sw = _ramp_position_sweep(t, mask, tmin, tmax, levels)
+    for sweep_rounds, (lo, hi) in ((0, (tmin, tmax)), (2, (lo_sw, hi_sw))):
+        e0 = mean + lo * axis
+        e1 = mean + hi * axis
+        for _ in range(iters):
+            pal = e0[..., None, :] + lv[:, None] * (e1 - e0)[..., None, :]
+            idx, _ = assign_nearest(pts, pal, weights, mask)
+            e0, e1 = lsq_refit(pts, mask, lv[idx], e0, e1)
+        # the reference loops (position sweep -> axis re-derivation) until
+        # no improvement (bcx:951-998); two static rounds on the refit axis
+        # capture the fixpoint for nearly all blocks
+        for _ in range(sweep_rounds):
+            d = e1 - e0
+            nrm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            ax2 = jnp.where(nrm > 1e-6, d / jnp.maximum(nrm, 1e-6), axis)
+            mean2 = (e0 + e1) * 0.5
+            t2, t2min, t2max = project_extents(pts, mask, mean2, ax2)
+            lo2, hi2 = _ramp_position_sweep(t2, mask, t2min, t2max, levels)
+            e0 = mean2 + lo2 * ax2
+            e1 = mean2 + hi2 * ax2
+            for _ in range(2):
+                pal = (e0[..., None, :]
+                       + lv[:, None] * (e1 - e0)[..., None, :])
+                idx, _ = assign_nearest(pts, pal, weights, mask)
+                e0, e1 = lsq_refit(pts, mask, lv[idx], e0, e1)
+        q0 = quantize_565(e0)
+        q1 = quantize_565(e1)
+        _, err = _eval_q(pts, mask, q0, q1, four, weights)
+        cands.append((err, q0, q1))
+    err, q0, q1 = cands[0]
+    for cerr, cq0, cq1 in cands[1:]:
+        bt = cerr < err
+        q0 = jnp.where(bt[:, None], cq0, q0)
+        q1 = jnp.where(bt[:, None], cq1, q1)
+        err = jnp.minimum(cerr, err)
     q0, q1, err = refine_565(pts, mask, q0, q1, four, weights,
                              passes=refine_passes)
     idx, err = _eval_q(pts, mask, q0, q1, four, weights)

@@ -69,10 +69,12 @@ def _palette_int(q0, q1, four: bool):
     return [e0, e1, pm]
 
 
-def _assign_int(xs, pal, w):
+def _assign_int(xs, pal, w, m=None):
     """Nearest palette entry under weighted distance.
 
-    xs: 3-tuple of (16,T) f32; pal: list of K 3-tuples of (1,T) int32.
+    xs: 3-tuple of (16,T) f32; pal: list of K 3-tuples of (1,T) int32;
+    m: optional (16,T) opaque mask (punch-through path) — masked pixels
+    cost nothing (amd_bcx_body.cpp:1223-1231 pixel exclusion).
     Returns idx (16,T) int32, err (1,T) f32.
     """
     best_d = None
@@ -88,17 +90,21 @@ def _assign_int(xs, pal, w):
             take = d < best_d
             best_d = jnp.where(take, d, best_d)
             idx = jnp.where(take, k, idx)
+    if m is not None:
+        best_d = best_d * m
     err = jnp.sum(best_d, axis=0, keepdims=True)
     return idx, err
 
 
-def _fit(xs, levels, iters: int, w):
-    """PCA + iterative LSQ line fit. xs: 3x(16,T) f32 in 0..255.
-
-    Returns (e0, e1): 3-tuples of (1,T) f32 endpoints.
-    """
-    mean = [jnp.mean(x, axis=0, keepdims=True) for x in xs]
-    cen = [x - m for x, m in zip(xs, mean)]
+def _pca(xs, m=None):
+    """PCA axis. xs: 3x(16,T) f32 -> (mean, axis, cen) of (1,T) triples."""
+    if m is None:
+        mean = [jnp.mean(x, axis=0, keepdims=True) for x in xs]
+        cen = [x - mn for x, mn in zip(xs, mean)]
+    else:
+        cnt = jnp.maximum(jnp.sum(m, axis=0, keepdims=True), 1.0)
+        mean = [jnp.sum(x * m, axis=0, keepdims=True) / cnt for x in xs]
+        cen = [(x - mn) * m for x, mn in zip(xs, mean)]
     cov = {}
     for a in range(3):
         for b in range(a, 3):
@@ -116,19 +122,16 @@ def _fit(xs, levels, iters: int, w):
     ok = n > _EPS
     inv = 1.0 / jnp.maximum(n, _EPS)
     axis = [jnp.where(ok, a * inv, 0.57735026) for a in v]
+    return mean, axis, cen
 
-    t = sum(c * a for c, a in zip(cen, axis))           # (16,T)
-    tmin = jnp.min(t, axis=0, keepdims=True)
-    tmax = jnp.max(t, axis=0, keepdims=True)
-    e0 = [m + tmin * a for m, a in zip(mean, axis)]
-    e1 = [m + tmax * a for m, a in zip(mean, axis)]
 
+def _iterate_lsq(xs, e0, e1, levels, w, iters: int, m=None):
+    """(assign -> LSQ refit) rounds on float endpoints."""
     lv = [jnp.float32(l) for l in levels]
     for _ in range(iters):
-        # float palette assign
         best_d = None
         alpha = None
-        for k, l in enumerate(lv):
+        for l in lv:
             d = jnp.zeros_like(xs[0])
             for c in range(3):
                 p = e0[c] + l * (e1[c] - e0[c])
@@ -141,20 +144,111 @@ def _fit(xs, levels, iters: int, w):
                 best_d = jnp.where(take, d, best_d)
                 alpha = jnp.where(take, l, alpha)
         one_a = 1.0 - alpha
-        q00 = jnp.sum(one_a * one_a, axis=0, keepdims=True)
+        if m is not None:
+            one_a = one_a * m
+            a_m = alpha * m
+        else:
+            a_m = alpha
+        q00 = jnp.sum(one_a * (1.0 - alpha), axis=0, keepdims=True)
         q01 = jnp.sum(one_a * alpha, axis=0, keepdims=True)
-        q11 = jnp.sum(alpha * alpha, axis=0, keepdims=True)
+        q11 = jnp.sum(a_m * alpha, axis=0, keepdims=True)
         det = q00 * q11 - q01 * q01
         okd = jnp.abs(det) > 1e-6
         invd = 1.0 / jnp.where(okd, det, 1.0)
         for c in range(3):
             b0 = jnp.sum(one_a * xs[c], axis=0, keepdims=True)
-            b1 = jnp.sum(alpha * xs[c], axis=0, keepdims=True)
+            b1 = jnp.sum(a_m * xs[c], axis=0, keepdims=True)
             n0 = (q11 * b0 - q01 * b1) * invd
             n1 = (q00 * b1 - q01 * b0) * invd
             e0[c] = jnp.where(okd, n0, e0[c])
             e1[c] = jnp.where(okd, n1, e1[c])
     return e0, e1
+
+
+def _sweep1d(t, tmin, tmax, levels, m=None):
+    """8x8 endpoint-position grid search along the projection axis
+    (CompressRGBBlockX, amd_bcx_body.cpp:956-1008; see kernels/bc1.py).
+
+    t (16,T) projections -> (lo, hi) (1,T) best ramp positions.
+    """
+    lv = [jnp.float32(l) for l in levels]
+    span = tmax - tmin
+    scl0 = tmin - span * 0.125
+    s = span * 1.25
+    best_e = None
+    best_lo = None
+    best_hi = None
+    for l in range(8):
+        for h in range(8):
+            lp = 0.05 + l * 0.025
+            hp = 0.95 - h * 0.025
+            lo = scl0 + lp * s
+            hi = scl0 + hp * s
+            d = None
+            for k in lv:
+                pk = lo + k * (hi - lo)
+                dk = (t - pk) ** 2
+                d = dk if d is None else jnp.minimum(d, dk)
+            if m is not None:
+                d = d * m
+            e = jnp.sum(d, axis=0, keepdims=True)
+            if best_e is None:
+                best_e, best_lo, best_hi = e, lo, hi
+            else:
+                take = e < best_e
+                best_e = jnp.where(take, e, best_e)
+                best_lo = jnp.where(take, lo, best_lo)
+                best_hi = jnp.where(take, hi, best_hi)
+    return best_lo, best_hi
+
+
+def _mext(t, m):
+    """Masked projection extents (big-filler min/max)."""
+    if m is None:
+        return (jnp.min(t, axis=0, keepdims=True),
+                jnp.max(t, axis=0, keepdims=True))
+    big = jnp.float32(1e30)
+    tmin = jnp.min(jnp.where(m > 0, t, big), axis=0, keepdims=True)
+    tmax = jnp.max(jnp.where(m > 0, t, -big), axis=0, keepdims=True)
+    tmin = jnp.where(tmin > tmax, 0.0, tmin)
+    tmax = jnp.where(tmax < tmin, 0.0, tmax)
+    return tmin, tmax
+
+
+def _fit(xs, levels, iters: int, w, m=None):
+    """PCA + position sweep + iterative LSQ line fit (two candidates).
+
+    xs: 3x(16,T) f32 in 0..255. Returns two (e0, e1) candidate pairs:
+    bounds-init and position-sweep-init (with axis re-derivation rounds),
+    mirroring kernels/bc1.py's _fit_mode.
+    """
+    mean, axis, cen = _pca(xs, m)
+    t = sum(c * a for c, a in zip(cen, axis))           # (16,T)
+    tmin, tmax = _mext(t, m)
+
+    cands = []
+    lo_sw, hi_sw = _sweep1d(t, tmin, tmax, levels, m)
+    for rounds, (lo, hi) in ((0, (tmin, tmax)), (2, (lo_sw, hi_sw))):
+        e0 = [mn + lo * a for mn, a in zip(mean, axis)]
+        e1 = [mn + hi * a for mn, a in zip(mean, axis)]
+        e0, e1 = _iterate_lsq(xs, e0, e1, levels, w, iters, m)
+        for _ in range(rounds):
+            d = [b - a for a, b in zip(e0, e1)]
+            n = jnp.sqrt(sum(x * x for x in d))
+            ok = n > 1e-6
+            inv = 1.0 / jnp.maximum(n, 1e-6)
+            ax2 = [jnp.where(ok, x * inv, a) for x, a in zip(d, axis)]
+            mean2 = [(a + b) * 0.5 for a, b in zip(e0, e1)]
+            t2 = sum((x - mn) * a for x, mn, a in zip(xs, mean2, ax2))
+            if m is not None:
+                t2 = t2 * m
+            t2min, t2max = _mext(t2, m)
+            lo2, hi2 = _sweep1d(t2, t2min, t2max, levels, m)
+            e0 = [mn + lo2 * a for mn, a in zip(mean2, ax2)]
+            e1 = [mn + hi2 * a for mn, a in zip(mean2, ax2)]
+            e0, e1 = _iterate_lsq(xs, e0, e1, levels, w, 2, m)
+        cands.append((e0, e1))
+    return cands
 
 
 def _quant565(e):
@@ -163,10 +257,10 @@ def _quant565(e):
                      maxq[c]).astype(I32) for c in range(3)]
 
 
-def _refine(xs, q0, q1, four: bool, w, passes: int):
+def _refine(xs, q0, q1, four: bool, w, passes: int, m=None):
     """Sequential per-channel +/-1 jitter under the exact integer palette."""
     maxq = (31, 63, 31)
-    _, best = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w)
+    _, best = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w, m)
     for _ in range(passes):
         for ch in range(3):
             for d0 in (-1, 0, 1):
@@ -178,7 +272,7 @@ def _refine(xs, q0, q1, four: bool, w, passes: int):
                     c0[ch] = jnp.clip(q0[ch] + d0, 0, maxq[ch])
                     c1[ch] = jnp.clip(q1[ch] + d1, 0, maxq[ch])
                     _, err = _assign_int(
-                        xs, _palette_int(tuple(c0), tuple(c1), four), w)
+                        xs, _palette_int(tuple(c0), tuple(c1), four), w, m)
                     take = err < best
                     best = jnp.where(take, err, best)
                     q0 = [jnp.where(take, a, b) for a, b in zip(c0, q0)]
@@ -190,23 +284,54 @@ def _pack565(q):
     return (q[0] << 11) | (q[1] << 5) | q[2]
 
 
-def _fit_mode(xs, four: bool, w, iters: int, passes: int):
+def _fit_mode(xs, four: bool, w, iters: int, passes: int, m=None):
     levels = LEVELS4 if four else LEVELS3
-    e0, e1 = _fit(xs, levels, iters, w)
-    q0 = _quant565(e0)
-    q1 = _quant565(e1)
-    q0, q1 = _refine(xs, q0, q1, four, w, passes)
-    idx, err = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w)
+    best = None
+    for e0, e1 in _fit(xs, levels, iters, w, m):
+        q0 = _quant565(e0)
+        q1 = _quant565(e1)
+        _, err = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four),
+                             w, m)
+        if best is None:
+            best = (err, q0, q1)
+        else:
+            take = err < best[0]
+            best = (jnp.where(take, err, best[0]),
+                    [jnp.where(take, a, b) for a, b in zip(q0, best[1])],
+                    [jnp.where(take, a, b) for a, b in zip(q1, best[2])])
+    _, q0, q1 = best
+    q0, q1 = _refine(xs, q0, q1, four, w, passes, m)
+    idx, err = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w, m)
     return q0, q1, idx, err
 
 
 def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
-                allow_three):
+                allow_three, use_alpha=False, athr=0.5, adaptive=False):
     xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
                for c in range(3))
-    w = weights
+    if adaptive:
+        # per-block adaptive colour weights, in-kernel (no host sync): a
+        # fixed correct version of the reference's broken per-block
+        # adaptive path (block_utils.cpp:176-211 reads uninitialized
+        # memory) — mean-channel skew applied to the perceptual base
+        mc = [jnp.mean(x, axis=0, keepdims=True) for x in xs]
+        largest = jnp.maximum(jnp.maximum(mc[0], mc[1]),
+                              jnp.maximum(mc[2], 1e-6))
+        w = [weights[c] * (3.0 * mc[c] / largest + 1.0) * 0.25
+             for c in range(3)]
+        s = w[0] + w[1] + w[2]
+        w = tuple(x / s for x in w)
+    else:
+        w = weights
+    if use_alpha:
+        av = x_ref[48:64, :].astype(F32) * 255.0
+        opq = av >= athr * 255.0                       # (16,T) bool
+        m = opq.astype(F32)
+        has_t = jnp.min(m, axis=0, keepdims=True) < 0.5
+    else:
+        m = None
 
-    q0_4, q1_4, idx4, err4 = _fit_mode(xs, True, w, iters, passes)
+    q0_4, q1_4, idx4, err4 = _fit_mode(xs, True, w, iters, passes, m)
     c0_4 = _pack565(q0_4)
     c1_4 = _pack565(q1_4)
     swap4 = c0_4 < c1_4
@@ -217,7 +342,7 @@ def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
     degenerate4 = a0_4 == a1_4
 
     if allow_three:
-        q0_3, q1_3, idx3, err3 = _fit_mode(xs, False, w, iters, passes)
+        q0_3, q1_3, idx3, err3 = _fit_mode(xs, False, w, iters, passes, m)
         c0_3 = _pack565(q0_3)
         c1_3 = _pack565(q1_3)
         swap3 = c0_3 > c1_3
@@ -225,7 +350,13 @@ def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
         a1_3 = jnp.where(swap3, c0_3, c1_3)
         # remap [1,0,2,3]: flip only indices < 2
         pidx3 = jnp.where(swap3 & (idx3 < 2), idx3 ^ 1, idx3)
-        use4 = (err4 < err3) & ~degenerate4
+        if use_alpha:
+            # transparent pixels -> index 3 (amd_bcx_body.cpp:269-270);
+            # any transparent pixel forces the 3-colour mode
+            pidx3 = jnp.where(opq, pidx3, 3)
+            use4 = (err4 < err3) & ~degenerate4 & ~has_t
+        else:
+            use4 = (err4 < err3) & ~degenerate4
         a0 = jnp.where(use4, a0_4, a0_3)
         a1 = jnp.where(use4, a1_4, a1_3)
         pidx = jnp.where(use4, pidx4, pidx3)
@@ -242,34 +373,45 @@ def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
 
 
 @partial(jax.jit, static_argnames=("weights", "iters", "passes",
-                                  "allow_three", "tile"))
+                                  "allow_three", "use_alpha",
+                                  "alpha_threshold", "adaptive", "tile"))
 def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
                              weights: tuple = PERCEPTUAL_WEIGHTS,
                              iters: int = 3, passes: int = 1,
-                             allow_three: bool = True, tile: int = TILE):
+                             allow_three: bool = True,
+                             use_alpha: bool = False,
+                             alpha_threshold: float = 0.5,
+                             adaptive: bool = False,
+                             tile: int = TILE):
     """Fused-BC1 entry: (N,16,C>=3) float blocks in [0,1] -> ((N,2) u32, (N,) err).
 
-    Opaque path only (punch-through alpha stays on the XLA kernel).
-    """
+    ``use_alpha``: fused punch-through path — pixels below
+    ``alpha_threshold`` are excluded from the fit and forced to the
+    transparent index of the 3-colour mode (amd_bcx_body.cpp:1223-1231,
+    :269-270)."""
     n = blocks.shape[0]
+    nchan = 4 if use_alpha else 3
     npad = -n % tile
-    x = blocks[..., :3].astype(F32)
+    x = blocks[..., :nchan].astype(F32)
+    if use_alpha and x.shape[-1] < 4:
+        x = jnp.concatenate([x, jnp.ones(x.shape[:-1] + (1,), F32)], -1)
     if npad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((npad, 16, 3), F32)], axis=0)
+        pad = jnp.ones((npad, 16, nchan), F32)
+        x = jnp.concatenate([x, pad], axis=0)
     total = x.shape[0]
-    # (N,16,3) -> rows c*16+p: (48, N)
-    xt = x.transpose(2, 1, 0).reshape(48, total)
+    # (N,16,C) -> rows c*16+p: (16C, N)
+    xt = x.transpose(2, 1, 0).reshape(16 * nchan, total)
 
     grid = total // tile
     kern = partial(_bc1_kernel, weights=weights, iters=iters, passes=passes,
-                   allow_three=allow_three)
+                   allow_three=allow_three, use_alpha=use_alpha,
+                   athr=alpha_threshold, adaptive=adaptive)
     # CPU backend (tests) has no Mosaic: fall back to the interpreter
     interpret = jax.default_backend() == "cpu"
     w0, w1, err = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((48, tile), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((16 * nchan, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i),

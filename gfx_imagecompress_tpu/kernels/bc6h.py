@@ -122,8 +122,59 @@ def _delta_ok(d: jnp.ndarray, bits: int) -> jnp.ndarray:
     return (d >= lo) & (d <= hi)
 
 
+_SHAKE_DELTAS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                 (1, -1), (1, 0), (1, 1))
 
-def _eval_mode_two(h_pts, u_pts, m, shape, sub, e, signed):
+
+def _shake_q(h_pts, mask, q0, q1, prec, signed, index_bits: int, idx,
+             rounds: int):
+    """Quantized-space endpoint shaker — the BC6H analog of ep_shaker_HD /
+    ep_shaker_2_d float (amd_hdr_encode.cpp:2280+, 2616+): sweep each
+    channel's endpoint-code pair over a +-1 cube with the current indices
+    fixed, keep per-channel argmin, then requantize indices against the
+    exact decode palette and iterate. All error is decode-true half-space.
+
+    q0/q1 (N,3) prec-bit codes (signed: sign-magnitude ints). Returns
+    (err, q0, q1, idx).
+    """
+    wt = jnp.asarray(WEIGHTS3 if index_bits == 3 else WEIGHTS4, I32)
+    if signed:
+        qlo, qhi = -((1 << (prec - 1)) - 1), (1 << (prec - 1)) - 1
+    else:
+        qlo, qhi = 0, (1 << prec) - 1
+    for _ in range(rounds):
+        wk = wt[idx]                                       # (N,16)
+        for c in range(3):
+            q0c, q1c = q0[:, c], q1[:, c]
+
+            def ch_err(a, b, wk=wk, c=c):
+                u0 = _unquantize(a, prec, signed)[:, None]
+                u1 = _unquantize(b, prec, signed)[:, None]
+                v = (u0 * (64 - wk) + u1 * wk + 32) >> 6
+                pal = _finish(v, signed)
+                if signed:
+                    pal = jnp.where(pal >= 0x8000, -(pal & 0x7FFF), pal)
+                d = h_pts[..., c].astype(F32) - pal.astype(F32)
+                return jnp.sum(d * d * mask, axis=-1)
+
+            best_e = ch_err(q0c, q1c)
+            b0, b1 = q0c, q1c
+            for da, db in _SHAKE_DELTAS:
+                nq0 = jnp.clip(q0c + da, qlo, qhi)
+                nq1 = jnp.clip(q1c + db, qlo, qhi)
+                e = ch_err(nq0, nq1)
+                bt = e < best_e
+                best_e = jnp.where(bt, e, best_e)
+                b0 = jnp.where(bt, nq0, b0)
+                b1 = jnp.where(bt, nq1, b1)
+            q0 = q0.at[:, c].set(b0)
+            q1 = q1.at[:, c].set(b1)
+        err, idx = _palette_err(h_pts, mask, q0, q1, prec, signed,
+                                index_bits)
+    return err, q0, q1, idx
+
+
+def _eval_mode_two(h_pts, u_pts, m, shape, sub, e, signed, shake: int = 0):
     """Evaluate a 2-region mode for a chosen shape.
 
     e = (e0s0, e1s0, e0s1, e1s1) float endpoints in work domain.
@@ -136,6 +187,12 @@ def _eval_mode_two(h_pts, u_pts, m, shape, sub, e, signed):
     mask1 = (sub == 1).astype(F32)
     err0, idx0 = _palette_err(h_pts, mask0, q[0], q[1], prec, signed, 3)
     err1, idx1 = _palette_err(h_pts, mask1, q[2], q[3], prec, signed, 3)
+    if shake:
+        err0, q0n, q1n, idx0 = _shake_q(h_pts, mask0, q[0], q[1], prec,
+                                        signed, 3, idx0, shake)
+        err1, q2n, q3n, idx1 = _shake_q(h_pts, mask1, q[2], q[3], prec,
+                                        signed, 3, idx1, shake)
+        q = [q0n, q1n, q2n, q3n]
     err = err0 + err1
     idx = jnp.where(sub == 0, idx0, idx1)
     # anchor swap BEFORE the delta-fit gate: swapping negates deltas, and
@@ -152,13 +209,16 @@ def _eval_mode_two(h_pts, u_pts, m, shape, sub, e, signed):
     return err, qs, idx
 
 
-def _eval_mode_one(h_pts, u_pts, m, e0, e1, signed):
+def _eval_mode_one(h_pts, u_pts, m, e0, e1, signed, shake: int = 0):
     n = h_pts.shape[0]
     prec = m.base_bits
     q0 = _quantize(e0, prec, signed)
     q1 = _quantize(e1, prec, signed)
     mask = jnp.ones((n, 16), F32)
     err, idx = _palette_err(h_pts, mask, q0, q1, prec, signed, 4)
+    if shake:
+        err, q0, q1, idx = _shake_q(h_pts, mask, q0, q1, prec, signed, 4,
+                                    idx, shake)
     qs, idx, _, _ = _swap_for_anchors(
         m, jnp.zeros((n,), I32), jnp.stack([q0, q1, q0, q1], 1), idx)
     if m.transformed:
@@ -264,11 +324,16 @@ def _pack_mode(m, shape, q, idx, signed):
 
 
 def _budgets(quality: float):
+    """quality -> (topk shapes, fit iters, shake rounds); shake plays
+    ep_shaker_HD's role (USE_SHAKERHD gate is quality > 0.8 in the
+    reference, amd_bc6h_body.cpp:960-1026, active at its hardwired 1.0)."""
     if quality <= 0.3:
-        return 2, 1   # topk shapes, fit iters
+        return 2, 1, 0
     if quality <= 0.7:
-        return 3, 2
-    return 4, 2
+        return 3, 2, 0
+    if quality <= 0.8:
+        return 4, 2, 0
+    return 4, 2, 1
 
 
 @partial(jax.jit, static_argnames=("signed", "mode_mask", "quality"))
@@ -282,7 +347,7 @@ def encode_bc6h_blocks(blocks: jnp.ndarray, *, signed: bool = False,
     n = blocks.shape[0]
     h_pts = f32_to_half_int(blocks, signed)                # (N,16,3)
     u_pts = _to_work(h_pts, signed)
-    topk, iters = _budgets(quality)
+    topk, iters, shake = _budgets(quality)
 
     # ---- shape ranking: one vectorized bounds-axis estimate over all 32
     # shapes (BC6H shapes ARE the first 32 2-subset BC7 partitions), then
@@ -323,7 +388,7 @@ def encode_bc6h_blocks(blocks: jnp.ndarray, *, signed: bool = False,
                 sub = ptab_j[shape]
                 e = list(fits_k[k])
                 err, q, idx = _eval_mode_two(h_pts, u_pts, m, shape, sub, e,
-                                             signed)
+                                             signed, shake)
                 better = err < best_err
                 best_err = jnp.minimum(err, best_err)
                 best_mode = jnp.where(better, mi, best_mode)
@@ -332,7 +397,7 @@ def encode_bc6h_blocks(blocks: jnp.ndarray, *, signed: bool = False,
                 best_idx = jnp.where(better[:, None], idx, best_idx)
         else:
             err, q, idx = _eval_mode_one(h_pts, u_pts, m, e0_1r, e1_1r,
-                                         signed)
+                                         signed, shake)
             better = err < best_err
             best_err = jnp.minimum(err, best_err)
             best_mode = jnp.where(better, mi, best_mode)

@@ -243,6 +243,54 @@ def _fit_masked(us, mask_rows, levels, iters):
     return e0, e1
 
 
+_SHAKE_DELTAS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+                 (1, -1), (1, 0), (1, 1))
+
+
+def _shake_q_rows(h, mask, q0, q1, prec: int, signed: bool, wtab, idx,
+                  rounds: int):
+    """Quantized-space endpoint shaker on lane rows (kernels/bc6h.py
+    _shake_q analog; ep_shaker_HD semantics, amd_hdr_encode.cpp:2280+).
+
+    h: 3x(16,T) half-int targets; mask (16,T); q0/q1 3-lists of (1,T)
+    prec-bit codes; idx (16,T). Returns (err, q0, q1, idx)."""
+    if signed:
+        qlo, qhi = -((1 << (prec - 1)) - 1), (1 << (prec - 1)) - 1
+    else:
+        qlo, qhi = 0, (1 << prec) - 1
+    for _ in range(rounds):
+        wk = jnp.zeros_like(idx)
+        for k, wv in enumerate(wtab):
+            if wv:
+                wk = jnp.where(idx == k, wv, wk)
+        for c in range(3):
+            q0c, q1c = q0[c], q1[c]
+
+            def ch_err(a, b, wk=wk, c=c):
+                u0 = _unquantize(a, prec, signed)
+                u1 = _unquantize(b, prec, signed)
+                v = (u0 * (64 - wk) + u1 * wk + 32) >> 6
+                dec = _finish_signed_dec(v) if signed else (v * 31) >> 6
+                diff = h[c].astype(F32) - dec.astype(F32)
+                return jnp.sum(mask * diff * diff, axis=0, keepdims=True)
+
+            best_e = ch_err(q0c, q1c)
+            b0, b1 = q0c, q1c
+            for da, db in _SHAKE_DELTAS:
+                nq0 = jnp.clip(q0c + da, qlo, qhi)
+                nq1 = jnp.clip(q1c + db, qlo, qhi)
+                e = ch_err(nq0, nq1)
+                take = e < best_e
+                best_e = jnp.where(take, e, best_e)
+                b0 = jnp.where(take, nq0, b0)
+                b1 = jnp.where(take, nq1, b1)
+            q0 = q0[:c] + [b0] + q0[c + 1:]
+            q1 = q1[:c] + [b1] + q1[c + 1:]
+        nidx, err = _palette_err(h, mask, q0, q1, prec, signed, wtab)
+        idx = jnp.where(mask > 0, nidx, idx)
+    return err, q0, q1, idx
+
+
 def _delta_ok3(d, bits_tuple):
     ok = None
     for c in range(3):
@@ -324,7 +372,7 @@ def _pack_mode(m, shape, anchor, q, idx):
 
 # ---------------------------------------------------------------- kernel ---
 def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
-                 iters, mode_mask):
+                 iters, shake, mode_mask):
     h = [h_ref[16 * c:16 * (c + 1), :] for c in range(3)]
     us = [u_ref[16 * c:16 * (c + 1), :] for c in range(3)]
 
@@ -353,6 +401,14 @@ def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
                                       WEIGHTS3)
             idx1, err1 = _palette_err(h, m1cat, q[2], q[3], prec, signed,
                                       WEIGHTS3)
+            if shake:
+                err0, qw0, qw1, idx0 = _shake_q_rows(
+                    h, m0cat, q[0], q[1], prec, signed, WEIGHTS3, idx0,
+                    shake)
+                err1, qw2, qw3, idx1 = _shake_q_rows(
+                    h, m1cat, q[2], q[3], prec, signed, WEIGHTS3, idx1,
+                    shake)
+                q = [qw0, qw1, qw2, qw3]
             err = err0 + err1
             in0 = jnp.concatenate([r.astype(I32) for r in sub_rows0], axis=0)
             idx = jnp.where(in0 > 0, idx0, idx1)
@@ -379,6 +435,10 @@ def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
         q0 = [_quantize(e0[c], prec, signed) for c in range(3)]
         q1 = [_quantize(e1[c], prec, signed) for c in range(3)]
         idx, err = _palette_err(h, None, q0, q1, prec, signed, WEIGHTS4)
+        if shake:
+            ones_cat = jnp.concatenate(ones, axis=0)
+            err, q0, q1, idx = _shake_q_rows(
+                h, ones_cat, q0, q1, prec, signed, WEIGHTS4, idx, shake)
         # anchor pixel 0 swap
         need = (idx[0:1] & 8) != 0
         idx = jnp.where(need, 15 - idx, idx)
@@ -425,11 +485,14 @@ def _merge(best, cand):
 
 
 def _budgets(quality: float):
+    """Mirrors kernels/bc6h.py: (topk shapes, fit iters, shake rounds)."""
     if quality <= 0.3:
-        return 2, 1
+        return 2, 1, 0
     if quality <= 0.7:
-        return 3, 2
-    return 4, 2
+        return 3, 2, 0
+    if quality <= 0.8:
+        return 4, 2, 0
+    return 4, 2, 1
 
 
 @partial(jax.jit, static_argnames=("signed", "mode_mask", "quality", "tile"))
@@ -447,9 +510,9 @@ def encode_bc6h_blocks_pallas(blocks: jnp.ndarray, *, signed: bool = False,
     u = _to_work(h, signed)                         # f32
     ht = h.transpose(2, 1, 0).reshape(48, total)
     ut = u.transpose(2, 1, 0).reshape(48, total)
-    topk, iters = _budgets(quality)
+    topk, iters, shake = _budgets(quality)
     kern = partial(_bc6h_kernel, signed=signed, topk=topk, iters=iters,
-                   mode_mask=mode_mask)
+                   shake=shake, mode_mask=mode_mask)
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern,

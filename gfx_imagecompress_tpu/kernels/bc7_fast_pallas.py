@@ -4,17 +4,27 @@ Same lane-parallel design as bc1_pallas.py, covering the bc7enc16-analog
 search of kernels/bc7_fast.py:
 
   - mode 6: 4-D PCA + iterative LSQ, all 4 p-bit combos against the exact
-    16-entry palette, selector-refit rounds;
+    16-entry palette, then the uber selector machinery — +-1 perturbation
+    refits (richgel999_bc7enc16.cpp:896-974) and selector-scaling
+    extrapolations for uber>=2 (:976-1006);
+  - the YCbCr perceptual metric (richgel:325-349) as a linear map applied
+    to points once and to each palette entry at assign time;
   - mode 1: bounds-axis error estimate over the partition list — the
     partition masks are COMPILE-TIME constants per pixel row, so the
     per-subset reductions are static row sums with no masking at all —
-    then top-K partitions get exact masked fits (6-bit + shared p-bit);
+    then top-K full fits (6-bit + shared p-bit) plus a whole-block
+    single-colour candidate whose optimal-table endpoints
+    (g_bc7_mode_1_optimal_endpoints, richgel:162-196) are gathered in XLA
+    outside the kernel (Mosaic has no per-lane table gather) and raced
+    in-kernel, then uber rounds on the winning partition's subsets;
   - alpha blocks race to mode 6 only; packing includes the anchor fixups
     (endpoint swap + index complement), with mode-1 index layouts emitted
     per anchor class {15, 2, 8, 6} and lane-selected.
 
 Budgets mirror kernels/bc7_fast.py: fast -> 24-partition shortlist,
-top-2, 1 refit round; default -> all 64, top-4, 3 refit rounds.
+top-2, uber 0; default -> all 64, top-4, uber 4 (the reference driver
+mapping, richgel:73-97). The XLA path additionally races the
+single-colour candidate per subset; here it is whole-block only.
 """
 from __future__ import annotations
 
@@ -26,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..tables.bc7_tables import ANCHOR2, P2, WEIGHTS3, WEIGHTS4
-from .bc7_fast import FAST_PARTITIONS, PERCEP_W, RGB_W
+from .bc7_fast import (FAST_PARTITIONS, PERCEP_W, _YCBCR_M,
+                       _mode1_solid_table)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -53,6 +64,13 @@ def _lerp64(a, b, w):
     return (a * (64 - w) + b * w + 32) >> 6
 
 
+def _expand7(q, pb):
+    """6-bit field + shared pbit -> decoded 8-bit int."""
+    full = (q << 1) | pb
+    x = full << 1
+    return x | (x >> 7)
+
+
 def _sel_by_id(pid, table):
     """Per-lane gather from a small static table via select chain.
 
@@ -77,9 +95,53 @@ def _norm4(v):
             zip(v, [0.5, 0.5, 0.5, 0.5])], ok
 
 
+def _to_metric_rows(xs, perceptual):
+    """Channel rows RGB(A) -> metric-space rows (YCbCr analog)."""
+    if not perceptual:
+        return xs
+    m = _YCBCR_M
+    ycc = [m[d][0] * xs[0] + m[d][1] * xs[1] + m[d][2] * xs[2]
+           for d in range(3)]
+    return ycc + list(xs[3:])
+
+
+def _metric_w(perceptual, chans):
+    return (PERCEP_W if perceptual else (1.0, 1.0, 1.0, 1.0))[:chans]
+
+
+def _sel_variant_rows(base_rows, mn, mx, max_sel, uber):
+    """Selector variants (uber machinery) on 16 x (1,T) index rows.
+
+    mn/mx (1,T) masked min/max over the cell. Mirrors bc7_fast._sel_variants.
+    """
+    variants = []
+
+    def apply(f):
+        return [f(r) for r in base_rows]
+
+    up = lambda r: (r == mn) & (r < max_sel)
+    dn = lambda r: (r == mx) & (r > 0)
+    variants.append(apply(lambda r: jnp.where(up(r), r + 1, r)))
+    variants.append(apply(lambda r: jnp.where(dn(r), r - 1, r)))
+    variants.append(apply(
+        lambda r: jnp.where(up(r), r + 1, jnp.where(dn(r), r - 1, r))))
+    if uber >= 2:
+        q = (uber - 2) if uber >= 4 else 1
+        for ly in range(-q, 2):
+            for hy in range(max_sel - 1, max_sel + q + 1):
+                if ly == 0 and hy == max_sel:
+                    continue
+                def scale(r, ly=ly, hy=hy):
+                    v = jnp.floor(
+                        max_sel * (r.astype(F32) - ly) / (hy - ly) + 0.5)
+                    return jnp.clip(v, 0, max_sel).astype(I32)
+                variants.append(apply(scale))
+    return variants
+
+
 # ------------------------------------------------------------- mode 6 -----
-def _fit_line4(xs, iters, w):
-    """4-channel PCA + LSQ fit against the 16-level palette."""
+def _fit_line4(xs, iters):
+    """4-channel PCA + LSQ fit against the 16-level palette (RGB space)."""
     chans = len(xs)
     mean = [jnp.mean(x, axis=0, keepdims=True) for x in xs]
     cen = [x - m for x, m in zip(xs, mean)]
@@ -106,12 +168,12 @@ def _fit_line4(xs, iters, w):
     e0 = [m + tmin * a for m, a in zip(mean, axis)]
     e1 = [m + tmax * a for m, a in zip(mean, axis)]
     for _ in range(iters):
-        alpha = _assign_float(xs, e0, e1, LV4, w)
+        alpha = _assign_float(xs, e0, e1, LV4)
         e0, e1 = _lsq_multi(xs, alpha, None, e0, e1)
     return e0, e1
 
 
-def _assign_float(xs, e0, e1, levels, w, mask=None):
+def _assign_float(xs, e0, e1, levels, mask=None):
     best = None
     alpha = None
     for l in levels:
@@ -119,7 +181,7 @@ def _assign_float(xs, e0, e1, levels, w, mask=None):
         for c in range(len(xs)):
             p = e0[c] + l * (e1[c] - e0[c])
             diff = xs[c] - p
-            d = d + w[c] * diff * diff
+            d = d + diff * diff
         if best is None:
             best, alpha = d, jnp.zeros_like(d) + l
         else:
@@ -150,19 +212,23 @@ def _lsq_multi(xs, alpha, mask, e0, e1):
     return ne0, ne1
 
 
-def _assign_exact(xs, d0, d1, wtab, w, mask=None):
-    """Exact palette assign: d0/d1 dequantized int endpoints per channel.
+def _assign_exact(ms, d0, d1, wtab, perceptual, mask=None):
+    """Exact palette assign in metric space.
 
-    Returns idx (16,T) int32, err (1,T) f32 (masked sum).
+    ms: metric-space pixel rows; d0/d1 dequantized int endpoints per RGB(A)
+    channel. Returns idx (16,T) int32, err (1,T) f32 (masked sum).
     """
+    chans = len(d0)
+    mw = _metric_w(perceptual, chans)
     best = None
     idx = None
     for k, wk in enumerate(wtab):
-        d = jnp.zeros_like(xs[0])
-        for c in range(len(xs)):
-            p = _lerp64(d0[c], d1[c], wk).astype(F32)
-            diff = xs[c] - p
-            d = d + w[c] * diff * diff
+        pal = [_lerp64(d0[c], d1[c], wk).astype(F32) for c in range(chans)]
+        pal = _to_metric_rows(pal, perceptual)
+        d = jnp.zeros_like(ms[0])
+        for c in range(chans):
+            diff = ms[c] - pal[c]
+            d = d + mw[c] * diff * diff
         if best is None:
             best, idx = d, jnp.zeros_like(d, I32)
         else:
@@ -185,39 +251,55 @@ def _quant_pbit(e, bits, p):
     return q, deq
 
 
-def _mode6(xs, w, uber):
-    e0, e1 = _fit_line4(xs, 2, w)
-    state = None
-    for _ in range(uber + 1):
-        for p0 in (0, 1):
-            for p1 in (0, 1):
-                q0s, d0s, q1s, d1s = [], [], [], []
-                for c in range(4):
-                    q0, d0 = _quant_pbit(e0[c], 7, p0)
-                    q1, d1 = _quant_pbit(e1[c], 7, p1)
-                    q0s.append(q0)
-                    d0s.append(d0)
-                    q1s.append(q1)
-                    d1s.append(d1)
-                idx, err = _assign_exact(xs, d0s, d1s, WEIGHTS4, w)
-                cand = dict(err=err, q0=q0s, q1=q1s, idx=idx,
-                            p0=jnp.zeros_like(err, I32) + p0,
-                            p1=jnp.zeros_like(err, I32) + p1)
-                if state is None:
-                    state = cand
-                else:
-                    take = cand["err"] < state["err"]
-                    state = {
-                        k: ([jnp.where(take, a, b) for a, b in
-                             zip(cand[k], state[k])]
-                            if isinstance(cand[k], list)
-                            else jnp.where(take, cand[k], state[k]))
-                        for k in state}
-        # selector refit for the next round
+def _merge6(cand, state):
+    if state is None:
+        return cand
+    take = cand["err"] < state["err"]
+    return {k: ([jnp.where(take, a, b) for a, b in zip(cand[k], state[k])]
+                if isinstance(cand[k], list)
+                else jnp.where(take, cand[k], state[k]))
+            for k in state}
+
+
+def _quant6_race(xs, ms, e0, e1, perceptual, state):
+    for p0 in (0, 1):
+        for p1 in (0, 1):
+            q0s, d0s, q1s, d1s = [], [], [], []
+            for c in range(4):
+                q0, d0 = _quant_pbit(e0[c], 7, p0)
+                q1, d1 = _quant_pbit(e1[c], 7, p1)
+                q0s.append(q0)
+                d0s.append(d0)
+                q1s.append(q1)
+                d1s.append(d1)
+            idx, err = _assign_exact(ms, d0s, d1s, WEIGHTS4, perceptual)
+            cand = dict(err=err, q0=q0s, q1=q1s, idx=idx,
+                        p0=jnp.zeros_like(err, I32) + p0,
+                        p1=jnp.zeros_like(err, I32) + p1)
+            state = _merge6(cand, state)
+    return state
+
+
+def _mode6(xs, ms, perceptual, uber):
+    e0, e1 = _fit_line4(xs, 2)
+    state = _quant6_race(xs, ms, e0, e1, perceptual, None)
+
+    def refit(idx_rows, state):
         lvl = jnp.zeros_like(xs[0])
         for k, l in enumerate(LV4):
-            lvl = jnp.where(state["idx"] == k, l, lvl)
-        e0, e1 = _lsq_multi(xs, lvl, None, e0, e1)
+            lvl = jnp.where(idx_rows == k, l, lvl)
+        e0r, e1r = _lsq_multi(xs, lvl, None, e0, e1)
+        return _quant6_race(xs, ms, e0r, e1r, perceptual, state)
+
+    # try_least_squares round from the current assignment
+    state = refit(state["idx"], state)
+    if uber > 0:
+        base = state["idx"]
+        mn = jnp.min(base, axis=0, keepdims=True)
+        mx = jnp.max(base, axis=0, keepdims=True)
+        base_rows = [base[p:p + 1] for p in range(16)]
+        for v in _sel_variant_rows(base_rows, mn, mx, 15, uber):
+            state = refit(jnp.concatenate(v, axis=0), state)
     return state
 
 
@@ -314,7 +396,7 @@ def _topk_ids(ests, plist, k):
     return ids
 
 
-def _fit_line3_masked(xs3, mask_rows, iters, w):
+def _fit_line3_masked(xs3, mask_rows, iters):
     """Masked 3-channel PCA + LSQ fit (mask per pixel row, (1,T) each)."""
     m = jnp.concatenate(mask_rows, axis=0)                  # (16,T)
     cnt = jnp.maximum(jnp.sum(m, axis=0, keepdims=True), 1.0)
@@ -346,12 +428,36 @@ def _fit_line3_masked(xs3, mask_rows, iters, w):
     e0 = [mn + tmin * a for mn, a in zip(mean, axis)]
     e1 = [mn + tmax * a for mn, a in zip(mean, axis)]
     for _ in range(iters):
-        alpha = _assign_float(xs3, e0, e1, LV3, w)
+        alpha = _assign_float(xs3, e0, e1, LV3, m)
         e0, e1 = _lsq_multi(xs3, alpha, m, e0, e1)
     return e0, e1
 
 
-def _mode1(xs3, w, plist, topk):
+def _quant1_subset(ms3, m, e0, e1, perceptual, sbest=None):
+    """6-bit + shared-pbit race for one mode-1 subset (lane layout)."""
+    for pb in (0, 1):
+        q0s, d0s, q1s, d1s = [], [], [], []
+        for c in range(3):
+            q0, d0 = _quant_pbit(e0[c], 6, pb)
+            q1, d1 = _quant_pbit(e1[c], 6, pb)
+            q0s.append(q0)
+            d0s.append(d0)
+            q1s.append(q1)
+            d1s.append(d1)
+        idx, err = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual, mask=m)
+        cand = (err, q0s, q1s, jnp.zeros_like(err, I32) + pb, idx)
+        if sbest is None:
+            sbest = cand
+        else:
+            take = cand[0] < sbest[0]
+            sbest = tuple(
+                ([jnp.where(take, a, b) for a, b in zip(cn, bs)]
+                 if isinstance(cn, list) else jnp.where(take, cn, bs))
+                for cn, bs in zip(cand, sbest))
+    return sbest
+
+
+def _mode1(xs3, ms3, perceptual, plist, topk, uber, solid_rows):
     ests = _estimate(xs3, plist)
     cand_ids = _topk_ids(ests, plist, topk)
     state = None
@@ -361,58 +467,107 @@ def _mode1(xs3, w, plist, topk):
         sub_rows = [((maskbits >> p) & 1) for p in range(16)]
         total = None
         qs = []
+        errs = []
         idx_all = None
         for s in (0, 1):
             mrows = [(r == s).astype(F32) for r in sub_rows]
-            e0, e1 = _fit_line3_masked(xs3, mrows, 2, w)
+            e0, e1 = _fit_line3_masked(xs3, mrows, 2)
             m = jnp.concatenate(mrows, axis=0)
-            sbest = None
-            for pb in (0, 1):
-                q0s, d0s, q1s, d1s = [], [], [], []
-                for c in range(3):
-                    q0, d0 = _quant_pbit(e0[c], 6, pb)
-                    q1, d1 = _quant_pbit(e1[c], 6, pb)
-                    q0s.append(q0)
-                    d0s.append(d0)
-                    q1s.append(q1)
-                    d1s.append(d1)
-                idx, err = _assign_exact(xs3, d0s, d1s, WEIGHTS3, w, mask=m)
-                cand = (err, q0s, q1s, jnp.zeros_like(err, I32) + pb, idx)
-                if sbest is None:
-                    sbest = cand
-                else:
-                    take = cand[0] < sbest[0]
-                    sbest = tuple(
-                        ([jnp.where(take, a, b) for a, b in zip(cn, bs)]
-                         if isinstance(cn, list) else jnp.where(take, cn, bs))
-                        for cn, bs in zip(cand, sbest))
-            err, q0s, q1s, pb, idx = sbest
+            err, q0s, q1s, pb, idx = _quant1_subset(ms3, m, e0, e1,
+                                                    perceptual)
             total = err if total is None else total + err
+            errs.append(err)
             qs.append((q0s, q1s, pb))
             sub_mask = jnp.concatenate(
                 [(r == s).astype(I32) for r in sub_rows], axis=0)
             contrib = idx * sub_mask
             idx_all = contrib if idx_all is None else idx_all + contrib
-        cand = dict(err=total, pid=pid, q=qs, idx=idx_all,
+        cand = dict(err=total, errs=errs, pid=pid, q=qs, idx=idx_all,
                     sub=sub_rows)
-        if state is None:
-            state = cand
-        else:
-            take = cand["err"] < state["err"]
-            ns = {}
-            ns["err"] = jnp.where(take, cand["err"], state["err"])
-            ns["pid"] = jnp.where(take, cand["pid"], state["pid"])
-            ns["idx"] = jnp.where(take, cand["idx"], state["idx"])
-            ns["sub"] = [jnp.where(take, a, b)
-                         for a, b in zip(cand["sub"], state["sub"])]
-            ns["q"] = []
-            for (aq0, aq1, apb), (bq0, bq1, bpb) in zip(cand["q"],
-                                                        state["q"]):
-                ns["q"].append((
-                    [jnp.where(take, a, b) for a, b in zip(aq0, bq0)],
-                    [jnp.where(take, a, b) for a, b in zip(aq1, bq1)],
-                    jnp.where(take, apb, bpb)))
-            state = ns
+        state = _merge1(cand, state)
+
+    if solid_rows is not None:
+        state = _merge1(_solid_candidate(ms3, perceptual, solid_rows), state)
+
+    if uber > 0:
+        state = _mode1_uber(xs3, ms3, perceptual, state, uber)
+    return state
+
+
+def _merge1(cand, state):
+    if state is None:
+        return cand
+    take = cand["err"] < state["err"]
+    ns = {}
+    ns["err"] = jnp.where(take, cand["err"], state["err"])
+    ns["errs"] = [jnp.where(take, a, b)
+                  for a, b in zip(cand["errs"], state["errs"])]
+    ns["pid"] = jnp.where(take, cand["pid"], state["pid"])
+    ns["idx"] = jnp.where(take, cand["idx"], state["idx"])
+    ns["sub"] = [jnp.where(take, a, b)
+                 for a, b in zip(cand["sub"], state["sub"])]
+    ns["q"] = []
+    for (aq0, aq1, apb), (bq0, bq1, bpb) in zip(cand["q"], state["q"]):
+        ns["q"].append((
+            [jnp.where(take, a, b) for a, b in zip(aq0, bq0)],
+            [jnp.where(take, a, b) for a, b in zip(aq1, bq1)],
+            jnp.where(take, apb, bpb)))
+    return ns
+
+
+def _solid_candidate(ms3, perceptual, solid_rows):
+    """Whole-block single-colour candidate from the precomputed optimal
+    endpoints (q0 rgb, q1 rgb, pbit in 7 int rows); partition 0."""
+    q0s = [solid_rows[c] for c in range(3)]
+    q1s = [solid_rows[3 + c] for c in range(3)]
+    pb = solid_rows[6]
+    d0s = [_expand7(q, pb) for q in q0s]
+    d1s = [_expand7(q, pb) for q in q1s]
+    zero = jnp.zeros_like(pb)
+    sub_rows = [((P2[0] >> p) & 1) + zero for p in range(16)]
+    m0 = jnp.concatenate([(r == 0).astype(F32) for r in sub_rows], axis=0)
+    idx, err0 = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual, mask=m0)
+    _, err1 = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual,
+                            mask=1.0 - m0)
+    return dict(err=err0 + err1, errs=[err0, err1], pid=zero,
+                q=[(q0s, q1s, pb), (q0s, q1s, pb)], idx=idx, sub=sub_rows)
+
+
+def _mode1_uber(xs3, ms3, perceptual, state, uber):
+    """Uber selector rounds on the winning partition's subsets."""
+    sub_rows = state["sub"]
+    idx = state["idx"]
+    for s in (0, 1):
+        mrows = [(r == s).astype(F32) for r in sub_rows]
+        m = jnp.concatenate(mrows, axis=0)
+        mi = m > 0
+        q0s, q1s, pb = state["q"][s]
+        d0 = [_expand7(q, pb).astype(F32) for q in q0s]
+        d1 = [_expand7(q, pb).astype(F32) for q in q1s]
+        big = jnp.int32(1 << 20)
+        mn = jnp.min(jnp.where(mi, idx, big), axis=0, keepdims=True)
+        mx = jnp.max(jnp.where(mi, idx, -big), axis=0, keepdims=True)
+        base_rows = [idx[p:p + 1] for p in range(16)]
+        sbest = (state["errs"][s], q0s, q1s, pb, idx)
+        for v in _sel_variant_rows(base_rows, mn, mx, 7, uber):
+            lvl = jnp.zeros_like(xs3[0])
+            vcat = jnp.concatenate(v, axis=0)
+            for k, l in enumerate(LV3):
+                lvl = jnp.where(vcat == k, l, lvl)
+            e0v, e1v = _lsq_multi(xs3, lvl, m, d0, d1)
+            errv, q0v, q1v, pv, idxv = _quant1_subset(
+                ms3, m, e0v, e1v, perceptual)
+            cand = (errv, q0v, q1v, pv, jnp.where(mi, idxv, idx))
+            take = cand[0] < sbest[0]
+            sbest = tuple(
+                ([jnp.where(take, a, b) for a, b in zip(cn, bs)]
+                 if isinstance(cn, list) else jnp.where(take, cn, bs))
+                for cn, bs in zip(cand, sbest))
+        err_s, q0s, q1s, pb, idx = sbest
+        state["errs"][s] = err_s
+        state["q"][s] = (q0s, q1s, pb)
+    state["idx"] = idx
+    state["err"] = state["errs"][0] + state["errs"][1]
     return state
 
 
@@ -466,20 +621,22 @@ def _pack_mode1(st):
 
 
 # --------------------------------------------------------------- kernel ---
-def _bc7fast_kernel(x_ref, w0, w1, w2, w3, err_ref, *, weights, fast,
-                    plist_override=None, topk_override=None):
+def _bc7fast_kernel(x_ref, solid_ref, w0, w1, w2, w3, err_ref, *,
+                    perceptual, fast, plist_override=None,
+                    topk_override=None, uber_override=None):
     xs = [x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
           for c in range(4)]
-    wq = weights + (1.0,)
     has_alpha = jnp.min(xs[3], axis=0, keepdims=True) < 254.999
+    ms = _to_metric_rows(xs, perceptual)
+    solid_rows = [solid_ref[c:c + 1, :] for c in range(7)]
 
-    uber = 1 if fast else 3
-    st6 = _mode6(xs, wq, uber)
+    uber = (0 if fast else 4) if uber_override is None else uber_override
+    st6 = _mode6(xs, ms, perceptual, uber)
     cols6 = _pack_mode6(st6)
 
     plist = plist_override or (FAST_PARTITIONS if fast else tuple(range(64)))
     topk = topk_override or (2 if fast else 4)
-    st1 = _mode1(xs[:3], weights, plist, topk)
+    st1 = _mode1(xs[:3], ms[:3], perceptual, plist, topk, uber, solid_rows)
     cols1 = _pack_mode1(st1)
 
     err1 = jnp.where(has_alpha, jnp.float32(3.4e38), st1["err"])
@@ -492,11 +649,26 @@ def _bc7fast_kernel(x_ref, w0, w1, w2, w3, err_ref, *, weights, fast,
     err_ref[:] = jnp.where(use1, err1, st6["err"])
 
 
+def _solid_inputs(x):
+    """Optimal mode-1 single-colour endpoints for each block's mean colour,
+    gathered in XLA (richgel:162-196 table): (N,16,4) 0..1 -> (7,N) int32
+    rows q0 r,g,b / q1 r,g,b / pbit."""
+    lo_t, hi_t, err_t = _mode1_solid_table()
+    c = jnp.clip(jnp.round(jnp.mean(x[..., :3], axis=1) * 255.0),
+                 0, 255).astype(I32)                       # (N,3)
+    errs = jnp.sum(jnp.asarray(err_t)[c], axis=1)          # (N,2)
+    pb = jnp.argmin(errs, axis=1).astype(I32)              # (N,)
+    sel = jnp.broadcast_to(pb[:, None, None], c.shape + (1,))
+    q0 = jnp.take_along_axis(jnp.asarray(lo_t)[c], sel, axis=2)[..., 0]
+    q1 = jnp.take_along_axis(jnp.asarray(hi_t)[c], sel, axis=2)[..., 0]
+    return jnp.concatenate([q0.T, q1.T, pb[None, :]], axis=0)
+
+
 @partial(jax.jit, static_argnames=("fast", "perceptual", "tile",
-                                  "_plist", "_topk"))
+                                  "_plist", "_topk", "_uber"))
 def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
                                   perceptual: bool = True, tile: int = TILE,
-                                  _plist=None, _topk=None):
+                                  _plist=None, _topk=None, _uber=None):
     """(N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err)."""
     n = blocks.shape[0]
     npad = -n % tile
@@ -506,15 +678,18 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
         x = jnp.concatenate([x, pad], axis=0)
     total = x.shape[0]
     xt = x.transpose(2, 1, 0).reshape(64, total)
+    solid = _solid_inputs(x)
     grid = total // tile
-    w = PERCEP_W if perceptual else RGB_W
-    kern = partial(_bc7fast_kernel, weights=tuple(w), fast=fast,
-                   plist_override=_plist, topk_override=_topk)
+    kern = partial(_bc7fast_kernel, perceptual=perceptual, fast=fast,
+                   plist_override=_plist, topk_override=_topk,
+                   uber_override=_uber)
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((7, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(
             pl.BlockSpec((1, tile), lambda i: (0, i),
@@ -523,6 +698,6 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
             [jax.ShapeDtypeStruct((1, total), U32)] * 4
             + [jax.ShapeDtypeStruct((1, total), F32)]),
         interpret=interpret,
-    )(xt)
+    )(xt, solid)
     words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
     return words, outs[4][0, :n]

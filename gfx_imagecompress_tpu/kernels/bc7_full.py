@@ -136,8 +136,12 @@ def _quant_subset(pts, m, mode, e0, e1, weights):
     return best
 
 
-_SHAKE_DELTAS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-                 (1, -1), (1, 0), (1, 1))
+def _shake_deltas(r: int):
+    """(dlo, dhi) sweep offsets for the shake cube; the reference scales the
+    cube with quality (amd_shake.cpp:898-944) — range 1 below max quality,
+    range 2 at max."""
+    return tuple((a, b) for a in range(-r, r + 1) for b in range(-r, r + 1)
+                 if (a, b) != (0, 0))
 
 
 def _deq_channel(q, p, bits: int, has_p: bool):
@@ -147,7 +151,7 @@ def _deq_channel(q, p, bits: int, has_p: bool):
 
 
 def _shake_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
-                  rounds: int):
+                  rounds: int, srange: int = 1):
     """Quantized-space endpoint shaker — ep_shaker_2_d's shake-cube analog
     (amd_shake.cpp:898-1044) as fixed-shape sweeps.
 
@@ -179,7 +183,7 @@ def _shake_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
             best_e = jnp.sum(m * (ramp.astype(F32) - pts[..., c]) ** 2,
                              axis=-1)
             best_q0c, best_q1c = q0c, q1c
-            for d0, d1 in _SHAKE_DELTAS:
+            for d0, d1 in _shake_deltas(srange):
                 nq0 = jnp.clip(q0c + d0, 0, maxq)
                 nq1 = jnp.clip(q1c + d1, 0, maxq)
                 deq0 = _deq_channel(nq0, p0, bits, has_p)
@@ -226,8 +230,50 @@ def _shake_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
     return err, q0, q1, p0, p1, idx
 
 
+def _deq_endpoints(q0, q1, p0, p1, mode, chans):
+    """Dequantize per-subset endpoint codes -> float (N,C) pairs."""
+    has_p = mode.pbit_mode != "none"
+    d0l, d1l = [], []
+    for c in range(chans):
+        bits = mode.colour_bits if c < 3 else mode.alpha_bits
+        d0l.append(_deq_channel(q0[..., c], p0, bits, has_p))
+        d1l.append(_deq_channel(q1[..., c], p1, bits, has_p))
+    return (jnp.stack(d0l, -1).astype(F32), jnp.stack(d1l, -1).astype(F32))
+
+
+def _uber_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
+                 uber: int):
+    """Selector-variant refit rounds on one subset — the bc7enc16 uber
+    machinery (richgel999_bc7enc16.cpp:896-1006) grafted onto the AMD
+    search: each +-1 perturbation / scaling extrapolation of the current
+    indices is least-squares refit and requantized under the full p-bit
+    race, keeping any win. This plays the role of the trace-quantizer's
+    long AnD iteration (amd_bc7_3dquant_vpc.cpp:1874-2045) at fixed cost.
+
+    Returns (err, q0, q1, p0, p1, idx)."""
+    from .bc7_fast import _sel_variants
+    lv = jnp.asarray(LEVELS[mode.index_bits], F32)
+    max_sel = (1 << mode.index_bits) - 1
+    chans = pts.shape[-1]
+    d0, d1 = _deq_endpoints(q0, q1, p0, p1, mode, chans)
+    mi = m > 0
+    big = jnp.int32(1 << 20)
+    mn = jnp.min(jnp.where(mi, idx, big), axis=1, keepdims=True)
+    mx = jnp.max(jnp.where(mi, idx, -big), axis=1, keepdims=True)
+    best = (err, q0, q1, p0, p1, idx)
+    n = pts.shape[0]
+    for v in _sel_variants(idx, mn, mx, max_sel, uber):
+        e0v, e1v = lsq_refit(pts, m, lv[v], d0, d1)
+        cand = _quant_subset(pts, m, mode, e0v, e1v, weights)
+        bt = cand[0] < best[0]
+        best = tuple(
+            jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+            for c, b in zip(cand, best))
+    return best
+
+
 def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
-                       shake_rounds: int = 0):
+                       shake_rounds: int = 0, uber: int = 0):
     """Generic single-index mode encoder (modes 0,1,2,3,6,7).
 
     pts (N,16,C) with C=4 iff mode has alpha endpoints, else C=3.
@@ -252,8 +298,7 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
     for kk in range(topk):
         part = cand_parts[:, kk]
         sub = ptab[part]
-        total = jnp.zeros((n,), F32)
-        q0l, q1l, p0l, p1l = [], [], [], []
+        errl, q0l, q1l, p0l, p1l = [], [], [], [], []
         idx_all = jnp.zeros((n, 16), I32)
         for s in range(s_count):
             m = (sub == s).astype(F32)
@@ -264,14 +309,15 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
                 err, q0, q1, p0, p1, idx = _shake_subset(
                     pts, m, mode, q0, q1, p0, p1, idx, err, weights,
                     shake_rounds)
-            total = total + err
+            errl.append(err)
             q0l.append(q0)
             q1l.append(q1)
             p0l.append(p0)
             p1l.append(p1)
             idx_all = jnp.where(sub == s, idx, idx_all)
-        cand = (total, part, jnp.stack(q0l, 1), jnp.stack(q1l, 1),
-                jnp.stack(p0l, 1), jnp.stack(p1l, 1), idx_all)
+        cand = (sum(errl), jnp.stack(errl, 1), part, jnp.stack(q0l, 1),
+                jnp.stack(q1l, 1), jnp.stack(p0l, 1), jnp.stack(p1l, 1),
+                idx_all)
         if best is None:
             best = cand
         else:
@@ -279,11 +325,34 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
             best = tuple(
                 jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
                 for c, b in zip(cand, best))
-    err, part, q0, q1, pb0, pb1, idx = best
+    total, errs, part, q0, q1, pb0, pb1, idx = best
+
+    if uber:
+        # refine the winning partition's subsets only (the reference spends
+        # its shaker budget on the sorted-best partitions the same way,
+        # bc7_body:643-709)
+        sub = ptab[part]
+        for s in range(s_count):
+            m = (sub == s).astype(F32)
+            err_s, q0s, q1s, p0s, p1s, idx_s = _uber_subset(
+                pts, m, mode, q0[:, s], q1[:, s], pb0[:, s], pb1[:, s],
+                idx, errs[:, s], weights, uber)
+            if shake_rounds:
+                err_s, q0s, q1s, p0s, p1s, idx_s = _shake_subset(
+                    pts, m, mode, q0s, q1s, p0s, p1s, idx_s, err_s,
+                    weights, 1, srange=2 if shake_rounds >= 3 else 1)
+            errs = errs.at[:, s].set(err_s)
+            q0 = q0.at[:, s].set(q0s)
+            q1 = q1.at[:, s].set(q1s)
+            pb0 = pb0.at[:, s].set(p0s)
+            pb1 = pb1.at[:, s].set(p1s)
+            idx = jnp.where(sub == s, idx_s, idx)
+        total = jnp.sum(errs, axis=1)
+
     if pts.shape[-1] == 3 and mode.alpha_bits:
         raise AssertionError("alpha mode needs 4-channel pts")
     words = pack_single(mode, part, q0, q1, pb0, pb1, idx)
-    return err, words
+    return total, words
 
 
 def _fit_scalar(vals, bits: int, index_bits: int, iters: int = 2):
@@ -331,9 +400,43 @@ class _SubMode:
         self.pbit_mode = pbit_mode
 
 
-def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0):
+def _uber_dual_colour(rgb, mask, cbits: int, ibits: int, qc0, qc1, cidx,
+                      cerr, weights3, uber: int):
+    """Uber selector rounds for a dual-mode RGB fit (no p-bits)."""
+    from .bc7_fast import _sel_variants
+    lv = jnp.asarray(LEVELS[ibits], F32)
+    max_sel = (1 << ibits) - 1
+    n = rgb.shape[0]
+    d0 = _expand(qc0, cbits).astype(F32)
+    d1 = _expand(qc1, cbits).astype(F32)
+    mn = jnp.min(cidx, axis=1, keepdims=True)
+    mx = jnp.max(cidx, axis=1, keepdims=True)
+    best = (cerr, qc0, qc1, cidx)
+    for v in _sel_variants(cidx, mn, mx, max_sel, uber):
+        e0, e1 = lsq_refit(rgb, mask, lv[v], d0, d1)
+        qs0, ds0, qs1, ds1 = [], [], [], []
+        for c in range(3):
+            q0c, d0c = quantize_plain(e0[..., c], cbits)
+            q1c, d1c = quantize_plain(e1[..., c], cbits)
+            qs0.append(q0c)
+            ds0.append(d0c)
+            qs1.append(q1c)
+            ds1.append(d1c)
+        pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1), ibits)
+        idx, err = assign_nearest(rgb, pal, weights3, mask)
+        cand = (err, jnp.stack(qs0, -1), jnp.stack(qs1, -1), idx)
+        bt = cand[0] < best[0]
+        best = tuple(
+            jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+            for c, b in zip(cand, best))
+    return best
+
+
+def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
+                     uber: int = 0):
     """Modes 4/5: rotation race x index-selection race x separate RGB +
-    scalar alpha fits, each followed by the quantized-space shaker.
+    scalar alpha fits, each followed by uber selector rounds and the
+    quantized-space shaker.
 
     pts (N,16,4) 0..255. CompressDualIndexBlock analog
     (amd_bc7_body.cpp:1059-1278) including the mode-4 ``indexSelection``
@@ -369,6 +472,10 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0):
             qc1 = jnp.stack(qs1, -1)
             pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1), cbits_idx)
             cidx, cerr = assign_nearest(rgb, pal, wp[:3], mask)
+            if uber:
+                cerr, qc0, qc1, cidx = _uber_dual_colour(
+                    rgb, mask, mode.colour_bits, cbits_idx, qc0, qc1,
+                    cidx, cerr, wp[:3], min(uber, 2))
             if shake_rounds:
                 cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
                 cerr, qc0, qc1, _, _, cidx = _shake_subset(
@@ -406,17 +513,21 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0):
 
 
 def _budgets(quality: float):
-    """quality -> (partition shortlist len, topk, fit iters, shake rounds).
-    Mirrors the FAST/HIGHQUALITY threshold mapping (amd_bc7_body.cpp:258-262,
-    hpp:108-148) as static trace-time budgets; shake rounds play the role of
-    the reference's numShakeAttempts/maxTry iteration (bc7_body:695-709)."""
+    """quality -> (partition shortlist len, topk, fit iters, shake rounds,
+    uber level). Mirrors the FAST/HIGHQUALITY threshold mapping
+    (amd_bc7_body.cpp:258-262, hpp:108-148) as static trace-time budgets;
+    shake rounds play the role of the reference's numShakeAttempts/maxTry
+    iteration (bc7_body:695-709) and the uber level the role of the
+    trace-quantizer's AnD refinement depth (amd_bc7_3dquant_vpc.cpp:30,
+    maxTry ~ 4000*quality)."""
     if quality <= 0.25:
-        return 16, 1, 1, 0
+        return 16, 1, 1, 0, 0
     if quality <= 0.5:
-        return 32, 2, 2, 1
+        return 32, 2, 2, 1, 1
     if quality <= 0.75:
-        return 64, 3, 2, 1
-    return 64, 4, 3, 2
+        return 64, 3, 2, 1, 2
+    # topk 8 = the reference's numShakeAttempts = 8 * quality at 1.0
+    return 64, 8, 3, 3, 4
 
 
 @partial(jax.jit, static_argnames=("quality", "mode_mask", "src_has_alpha",
@@ -435,7 +546,7 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
     pts = blocks.astype(F32) * 255.0
     n = pts.shape[0]
     w = (1.0, 1.0, 1.0, 1.0)
-    nparts, topk, iters, shake = _budgets(quality)
+    nparts, topk, iters, shake, uber = _budgets(quality)
     plist = tuple(range(nparts))
     plist16 = tuple(range(min(nparts, 16)))
 
@@ -448,17 +559,24 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
         if not (mode_mask >> m.mode) & 1:
             continue
         if m.mode in (4, 5):
-            err, wd = encode_dual_mode(pts, m, w, shake_rounds=shake)
+            err, wd = encode_dual_mode(pts, m, w, shake_rounds=shake,
+                                       uber=uber)
         elif m.alpha_bits:  # modes 6, 7
             err, wd = encode_single_mode(
                 pts, m, jnp.asarray(w, F32),
                 plist16 if m.mode == 0 else plist, topk, iters,
-                shake_rounds=shake)
+                shake_rounds=shake, uber=uber)
         else:               # modes 0-3: opaque; charge true alpha error
+            # mode 0 has only 16 partitions: above the HIGHQUALITY
+            # threshold full-fit them all, exactly as the reference
+            # quantizes every partition before shaking the sorted best
+            # (amd_bc7_body.cpp:582-709) — the estimator shortlist is a
+            # budget device, not part of the search contract
+            topk_m = 16 if (m.mode == 0 and quality > 0.75) else topk
             err, wd = encode_single_mode(
                 pts[..., :3], m, jnp.asarray(w[:3], F32),
-                plist16 if m.mode == 0 else plist, topk, iters,
-                shake_rounds=shake)
+                plist16 if m.mode == 0 else plist, topk_m, iters,
+                shake_rounds=shake, uber=uber)
             err = err + alpha_pen
         errs.append(err)
         words_list.append(wd)

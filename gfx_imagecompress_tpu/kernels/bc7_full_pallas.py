@@ -3,11 +3,20 @@
 Generalizes bc7_fast_pallas.py to the complete AMD-path mode sweep
 (kernels/bc7_full.py semantics): single-index modes 0/1/2/3/6/7 via one
 parameterized evaluator (per-mode precision, subsets, p-bit scheme, index
-width), dual-index modes 4/5 with the rotation race, opaque modes charged
+width), dual-index modes 4/5 with the rotation race and the mode-4
+index-selection race (amd_bc7_body.cpp:1099-1127), opaque modes charged
 the true alpha penalty, masked argmin across modes, and per-mode packing
 lane-selected by the winner. Anchor-dependent index layouts are emitted per
 anchor class (4 classes for 2-subset shapes, 18 (a1, a2) pairs for
 3-subset) — all static.
+
+Quality machinery mirrored from kernels/bc7_full.py (parity-tested):
+  - the quantized-space endpoint shaker (ep_shaker_2_d's shake cube,
+    amd_shake.cpp:898-1044) as per-channel +-range sweeps with fixed
+    indices, then a p-bit re-race + index requantize;
+  - the uber selector machinery (richgel999_bc7enc16.cpp:896-1006):
+    selector perturbation/extrapolation variants LSQ-refit and re-raced,
+    applied to the winning partition's subsets.
 """
 from __future__ import annotations
 
@@ -21,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tables.bc7_tables import (ANCHOR2, ANCHOR3_1, ANCHOR3_2, BC7_MODES,
                                  P2, P3, WEIGHTS2, WEIGHTS3, WEIGHTS4)
 from .bc7_fast_pallas import (_assign_exact, _assign_float, _lerp64,
-                              _lsq_multi, _put, _quant_pbit, _sel_by_id)
+                              _lsq_multi, _put, _quant_pbit, _sel_by_id,
+                              _sel_variant_rows)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -108,7 +118,7 @@ def _topk(ests, plist, k):
     return ids
 
 
-def _fit_masked(xs, mrows, levels, iters, w):
+def _fit_masked(xs, mrows, levels, iters):
     """Masked n-channel PCA + LSQ fit."""
     nc = len(xs)
     m = jnp.concatenate(mrows, axis=0)
@@ -144,7 +154,7 @@ def _fit_masked(xs, mrows, levels, iters, w):
     e0 = [mn + tmin * a for mn, a in zip(mean, axis)]
     e1 = [mn + tmax * a for mn, a in zip(mean, axis)]
     for _ in range(iters):
-        alpha = _assign_float(xs, e0, e1, levels, w)
+        alpha = _assign_float(xs, e0, e1, levels)
         e0, e1 = _lsq_multi(xs, alpha, m, e0, e1)
     return e0, e1
 
@@ -164,19 +174,173 @@ def _pbit_combos(mode):
     return ((None, None),)
 
 
-def _single_mode(xs, mode, w, plist, topk, iters):
+def _merge_tuple(cand, best):
+    """Keyed-on-element-0 argmin merge; elements may be lists of rows."""
+    if best is None:
+        return cand
+    take = cand[0] < best[0]
+    out = []
+    for cn, bs in zip(cand, best):
+        if isinstance(cn, list):
+            out.append([jnp.where(take, a, b) for a, b in zip(cn, bs)])
+        else:
+            out.append(jnp.where(take, cn, bs))
+    return tuple(out)
+
+
+def _deq_ch(q, p, bits: int, has_p: bool):
+    """Endpoint field (+ optional pbit) -> decoded 8-bit int rows."""
+    if has_p:
+        full = (q << 1) | p
+        tb = bits + 1
+    else:
+        full = q
+        tb = bits
+    return (full << (8 - tb)) | (full >> (2 * tb - 8))
+
+
+def _wk_rows(idx, wtab):
+    """Index rows -> 64-weight rows via static select chain."""
+    wk = jnp.zeros_like(idx)
+    for k, wv in enumerate(wtab):
+        if wv:
+            wk = jnp.where(idx == k, wv, wk)
+    return wk
+
+
+def _quant_subset_rows(xs, m, mode, e0, e1):
+    """Quantize one subset's float endpoints under all pbit combos against
+    the exact palette (kernels/bc7_full.py _quant_subset analog).
+
+    Returns (err (1,T), q0s, q1s lists, pb0, pb1 (1,T), idx (16,T))."""
+    nchan = len(xs)
+    wtab = WT[mode.index_bits]
+    sbest = None
+    for p0, p1 in _pbit_combos(mode):
+        q0s, d0s, q1s, d1s = [], [], [], []
+        for c in range(nchan):
+            bits = mode.colour_bits if c < 3 else mode.alpha_bits
+            if p0 is None:
+                q0, d0 = _quant_plain(e0[c], bits)
+                q1, d1 = _quant_plain(e1[c], bits)
+            else:
+                q0, d0 = _quant_pbit(e0[c], bits, p0)
+                q1, d1 = _quant_pbit(e1[c], bits, p1)
+            q0s.append(q0)
+            d0s.append(d0)
+            q1s.append(q1)
+            d1s.append(d1)
+        idx, err = _assign_exact(xs, d0s, d1s, wtab, False, mask=m)
+        z = jnp.zeros_like(err, I32)
+        cand = (err, q0s, q1s, z + (p0 or 0), z + (p1 or 0), idx)
+        sbest = _merge_tuple(cand, sbest)
+    return sbest
+
+
+def _shake_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, rounds: int,
+                srange: int = 1):
+    """Quantized-space endpoint shaker on lane rows — ep_shaker_2_d's
+    shake-cube analog (amd_shake.cpp:898-1044; kernels/bc7_full.py
+    _shake_subset semantics, parity-tested against it).
+
+    xs: channel rows (16,T); m (16,T) subset mask; q0s/q1s per-channel
+    (1,T) codes; pb0/pb1 (1,T); idx (16,T). Returns the same tuple shape.
+    """
+    chans = len(xs)
+    has_p = mode.pbit_mode != "none"
+    wtab = WT[mode.index_bits]
+    deltas = tuple((a, b) for a in range(-srange, srange + 1)
+                   for b in range(-srange, srange + 1) if (a, b) != (0, 0))
+    for _ in range(rounds):
+        wk = _wk_rows(idx, wtab)                            # (16,T)
+        for c in range(chans):
+            bits = mode.colour_bits if c < 3 else mode.alpha_bits
+            maxq = (1 << bits) - 1
+            q0c, q1c = q0s[c], q1s[c]
+            d0 = _deq_ch(q0c, pb0, bits, has_p)
+            d1 = _deq_ch(q1c, pb1, bits, has_p)
+            diff = _lerp64(d0, d1, wk).astype(F32) - xs[c]
+            best_e = jnp.sum(m * diff * diff, axis=0, keepdims=True)
+            b0, b1 = q0c, q1c
+            for da, db in deltas:
+                nq0 = jnp.clip(q0c + da, 0, maxq)
+                nq1 = jnp.clip(q1c + db, 0, maxq)
+                d0 = _deq_ch(nq0, pb0, bits, has_p)
+                d1 = _deq_ch(nq1, pb1, bits, has_p)
+                diff = _lerp64(d0, d1, wk).astype(F32) - xs[c]
+                e = jnp.sum(m * diff * diff, axis=0, keepdims=True)
+                take = e < best_e
+                best_e = jnp.where(take, e, best_e)
+                b0 = jnp.where(take, nq0, b0)
+                b1 = jnp.where(take, nq1, b1)
+            q0s = q0s[:c] + [b0] + q0s[c + 1:]
+            q1s = q1s[:c] + [b1] + q1s[c + 1:]
+        # p-bit re-race + index requantize against the exact palette
+        best = None
+        for c0, c1 in _pbit_combos(mode):
+            np0 = pb0 if c0 is None else jnp.zeros_like(pb0) + c0
+            np1 = pb1 if c1 is None else jnp.zeros_like(pb1) + c1
+            d0s = [_deq_ch(q0s[c], np0,
+                           mode.colour_bits if c < 3 else mode.alpha_bits,
+                           has_p) for c in range(chans)]
+            d1s = [_deq_ch(q1s[c], np1,
+                           mode.colour_bits if c < 3 else mode.alpha_bits,
+                           has_p) for c in range(chans)]
+            nidx, ne = _assign_exact(xs, d0s, d1s, wtab, False, mask=m)
+            best = _merge_tuple((ne, np0, np1, nidx), best)
+        err, pb0, pb1, nidx = best
+        idx = jnp.where(m > 0, nidx, idx)
+    return err, q0s, q1s, pb0, pb1, idx
+
+
+def _uber_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, uber: int):
+    """Uber selector rounds on one subset (kernels/bc7_full.py _uber_subset
+    analog; richgel999_bc7enc16.cpp:896-1006 machinery)."""
+    chans = len(xs)
+    has_p = mode.pbit_mode != "none"
+    lv = LV[mode.index_bits]
+    max_sel = (1 << mode.index_bits) - 1
+    d0 = [_deq_ch(q0s[c], pb0,
+                  mode.colour_bits if c < 3 else mode.alpha_bits,
+                  has_p).astype(F32) for c in range(chans)]
+    d1 = [_deq_ch(q1s[c], pb1,
+                  mode.colour_bits if c < 3 else mode.alpha_bits,
+                  has_p).astype(F32) for c in range(chans)]
+    mi = m > 0
+    big = jnp.int32(1 << 20)
+    mn = jnp.min(jnp.where(mi, idx, big), axis=0, keepdims=True)
+    mx = jnp.max(jnp.where(mi, idx, -big), axis=0, keepdims=True)
+    base_rows = [idx[p:p + 1] for p in range(16)]
+    best = (err, q0s, q1s, pb0, pb1, idx)
+    for v in _sel_variant_rows(base_rows, mn, mx, max_sel, uber):
+        vcat = jnp.concatenate(v, axis=0)
+        lvl = jnp.zeros_like(xs[0])
+        for k, l in enumerate(lv):
+            if l:
+                lvl = jnp.where(vcat == k, l, lvl)
+        e0v, e1v = _lsq_multi(xs, lvl, m, d0, d1)
+        errv, q0v, q1v, p0v, p1v, idxv = _quant_subset_rows(
+            xs, m, mode, e0v, e1v)
+        cand = (errv, q0v, q1v, p0v, p1v, jnp.where(mi, idxv, idx))
+        best = _merge_tuple(cand, best)
+    return best
+
+
+def _single_mode(xs, mode, plist, topk, iters, shake, uber,
+                 part_ids=None):
     """Generic single-index mode evaluator.
 
     xs: channel rows ((16,T) each), 3 or 4 depending on mode.alpha_bits.
-    Returns candidate dict for the global merge.
+    part_ids: optional precomputed top-k partition-id rows ((1,T) each) —
+    the shared XLA-side estimate (one estimate reused across modes, the
+    reference's sortProjection-once structure, bc7_body:643-709); when
+    absent the estimate runs in-kernel. Returns candidate dict.
     """
-    nchan = len(xs)
     s_count = mode.subsets
     levels = LV[mode.index_bits]
-    wtab = WT[mode.index_bits]
     if s_count == 1:
         part_ids = [jnp.zeros_like(xs[0][0:1], I32)]
-    else:
+    elif part_ids is None:
         lvn = 1 << mode.index_bits
         ests = _estimate(xs, plist, s_count, lvn)
         part_ids = _topk(ests, plist, min(topk, len(plist)))
@@ -192,42 +356,19 @@ def _single_mode(xs, mode, w, plist, topk, iters):
                 sub_of = [((bits_sel >> p) & 1) for p in range(16)]
             else:
                 sub_of = [((bits_sel >> (2 * p)) & 3) for p in range(16)]
-        total = None
+        errl = []
         idx_all = None
         q0l, q1l, pb0l, pb1l = [], [], [], []
         for s in range(s_count):
             mrows = [(r == s).astype(F32) for r in sub_of]
-            e0, e1 = _fit_masked(xs, mrows, levels, iters, w)
+            e0, e1 = _fit_masked(xs, mrows, levels, iters)
             m = jnp.concatenate(mrows, axis=0)
-            sbest = None
-            for p0, p1 in _pbit_combos(mode):
-                q0s, d0s, q1s, d1s = [], [], [], []
-                for c in range(nchan):
-                    bits = mode.colour_bits if c < 3 else mode.alpha_bits
-                    if p0 is None:
-                        q0, d0 = _quant_plain(e0[c], bits)
-                        q1, d1 = _quant_plain(e1[c], bits)
-                    else:
-                        q0, d0 = _quant_pbit(e0[c], bits, p0)
-                        q1, d1 = _quant_pbit(e1[c], bits, p1)
-                    q0s.append(q0)
-                    d0s.append(d0)
-                    q1s.append(q1)
-                    d1s.append(d1)
-                idx, err = _assign_exact(xs, d0s, d1s, wtab, w, mask=m)
-                z = jnp.zeros_like(err, I32)
-                cand = (err, q0s, q1s, z + (p0 or 0), z + (p1 or 0), idx)
-                if sbest is None:
-                    sbest = cand
-                else:
-                    take = cand[0] < sbest[0]
-                    sbest = tuple(
-                        ([jnp.where(take, a, b) for a, b in zip(cn, bs)]
-                         if isinstance(cn, list)
-                         else jnp.where(take, cn, bs))
-                        for cn, bs in zip(cand, sbest))
-            err, q0s, q1s, pb0, pb1, idx = sbest
-            total = err if total is None else total + err
+            err, q0s, q1s, pb0, pb1, idx = _quant_subset_rows(
+                xs, m, mode, e0, e1)
+            if shake:
+                err, q0s, q1s, pb0, pb1, idx = _shake_rows(
+                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err, shake)
+            errl.append(err)
             q0l.append(q0s)
             q1l.append(q1s)
             pb0l.append(pb0)
@@ -236,13 +377,46 @@ def _single_mode(xs, mode, w, plist, topk, iters):
                                     axis=0)
             contrib = idx * smask
             idx_all = contrib if idx_all is None else idx_all + contrib
-        cand = dict(err=total, part=pid, q0=q0l, q1=q1l, pb0=pb0l,
-                    pb1=pb1l, idx=idx_all)
+        cand = dict(err=sum(errl), errs=errl, part=pid, q0=q0l, q1=q1l,
+                    pb0=pb0l, pb1=pb1l, idx=idx_all)
         if best is None:
             best = cand
         else:
             take = cand["err"] < best["err"]
             best = _merge_dict(best, cand, take)
+
+    if uber:
+        # refine the winning partition's subsets only (the reference spends
+        # its shaker budget on the sorted-best partitions the same way,
+        # bc7_body:643-709)
+        part = best["part"]
+        if s_count == 1:
+            sub_of = [jnp.zeros_like(part) for _ in range(16)]
+        else:
+            bits_sel = _sel_by_id(part, [table[p] if p in plist else 0
+                                         for p in range(64)])
+            if s_count == 2:
+                sub_of = [((bits_sel >> p) & 1) for p in range(16)]
+            else:
+                sub_of = [((bits_sel >> (2 * p)) & 3) for p in range(16)]
+        idx = best["idx"]
+        for s in range(s_count):
+            mrows = [(r == s).astype(F32) for r in sub_of]
+            m = jnp.concatenate(mrows, axis=0)
+            err_s, q0s, q1s, pb0, pb1, idx = _uber_rows(
+                xs, m, mode, best["q0"][s], best["q1"][s],
+                best["pb0"][s], best["pb1"][s], idx, best["errs"][s], uber)
+            if shake:
+                err_s, q0s, q1s, pb0, pb1, idx = _shake_rows(
+                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, 1,
+                    srange=2 if shake >= 3 else 1)
+            best["errs"][s] = err_s
+            best["q0"][s] = q0s
+            best["q1"][s] = q1s
+            best["pb0"][s] = pb0
+            best["pb1"][s] = pb1
+        best["idx"] = idx
+        best["err"] = sum(best["errs"])
     return best
 
 
@@ -367,38 +541,67 @@ def _pack_single(mode, st):
 
 
 # ----------------------------------------------------------- dual modes ---
-def _dual_mode(xs, mode, w, iters):
+class _SubMode:
+    """Lightweight mode view for shake/uber on dual-mode channel groups."""
+
+    def __init__(self, colour_bits, alpha_bits, index_bits, pbit_mode):
+        self.colour_bits = colour_bits
+        self.alpha_bits = alpha_bits
+        self.index_bits = index_bits
+        self.pbit_mode = pbit_mode
+
+
+def _dual_mode(xs, mode, iters, shake, uber):
+    """Modes 4/5: rotation race x index-selection race x separate RGB +
+    scalar alpha fits (CompressDualIndexBlock analog,
+    amd_bc7_body.cpp:1059-1278, incl. the mode-4 indexSelection axis
+    :1099-1127), each followed by uber selector rounds and the shaker."""
     best = None
+    ones = [jnp.ones_like(xs[0][0:1]) for _ in range(16)]
+    m_all = jnp.concatenate(ones, axis=0)
+    zero = jnp.zeros_like(xs[0][0:1], I32)
     for rot in range(4):
         perm = [0, 1, 2, 3]
         if rot:
             perm[rot - 1], perm[3] = perm[3], perm[rot - 1]
         p_xs = [xs[i] for i in perm]
-        wp = [w[i] for i in perm]
         rgb, alpha = p_xs[:3], p_xs[3]
-        ones = [jnp.ones_like(rgb[0][0:1]) for _ in range(16)]
-        e0, e1 = _fit_masked(rgb, ones, LV[mode.index_bits], iters, wp[:3])
-        q0s, d0s, q1s, d1s = [], [], [], []
-        for c in range(3):
-            q0, d0 = _quant_plain(e0[c], mode.colour_bits)
-            q1, d1 = _quant_plain(e1[c], mode.colour_bits)
-            q0s.append(q0)
-            d0s.append(d0)
-            q1s.append(q1)
-            d1s.append(d1)
-        cidx, cerr = _assign_exact(rgb, d0s, d1s, WT[mode.index_bits],
-                                  wp[:3])
-        aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
-                                           mode.index_bits2, iters)
-        err = cerr + aerr * wp[3]
-        z = jnp.zeros_like(err, I32)
-        cand = dict(err=err, rot=z + rot, qc0=q0s, qc1=q1s,
-                    qa0=qa0, qa1=qa1, cidx=cidx, aidx=aidx)
-        if best is None:
-            best = cand
-        else:
-            take = cand["err"] < best["err"]
-            best = _merge_dict(best, cand, take)
+        for sel in range(1 << mode.index_mode_bits):
+            cbits_idx = mode.index_bits2 if sel else mode.index_bits
+            abits_idx = mode.index_bits if sel else mode.index_bits2
+            e0, e1 = _fit_masked(rgb, ones, LV[cbits_idx], iters)
+            cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
+            cerr, qc0, qc1, _, _, cidx = _quant_subset_rows(
+                rgb, m_all, cmode, e0, e1)
+            if uber:
+                cerr, qc0, qc1, _, _, cidx = _uber_rows(
+                    rgb, m_all, cmode, qc0, qc1, zero, zero, cidx, cerr,
+                    min(uber, 2))
+            if shake:
+                cerr, qc0, qc1, _, _, cidx = _shake_rows(
+                    rgb, m_all, cmode, qc0, qc1, zero, zero, cidx, cerr,
+                    shake)
+            aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
+                                               abits_idx, iters)
+            if shake:
+                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
+                aerr, qa0l, qa1l, _, _, aidx = _shake_rows(
+                    [alpha], m_all, amode, [qa0], [qa1], zero, zero,
+                    aidx, aerr, shake)
+                qa0, qa1 = qa0l[0], qa1l[0]
+            err = cerr + aerr
+            if sel:
+                f1idx, f2idx = aidx, cidx
+            else:
+                f1idx, f2idx = cidx, aidx
+            cand = dict(err=err, rot=zero + rot, sel=zero + sel,
+                        qc0=qc0, qc1=qc1, qa0=qa0, qa1=qa1,
+                        f1idx=f1idx, f2idx=f2idx)
+            if best is None:
+                best = cand
+            else:
+                take = cand["err"] < best["err"]
+                best = _merge_dict(best, cand, take)
     return best
 
 
@@ -448,20 +651,33 @@ def _fit_scalar(vals, bits, index_bits, iters):
 
 
 def _pack_dual(mode, st):
-    cidx, aidx = st["cidx"], st["aidx"]
+    """Pack a dual-index candidate; mirrors bc7_common.pack_dual semantics
+    (field1 drives colour iff sel == 0; each field's anchor fixup swaps the
+    endpoint pair that field drives, EncodeDualIndexBlock
+    amd_bc7_body.cpp:937-988)."""
+    f1idx, f2idx = st["f1idx"], st["f2idx"]
     qc0, qc1 = st["qc0"], st["qc1"]
     qa0, qa1 = st["qa0"], st["qa1"]
+    sel = st["sel"]
+    sel1 = sel == 0
     msb1 = 1 << (mode.index_bits - 1)
     comp1 = (1 << mode.index_bits) - 1
-    need = (cidx[0:1] & msb1) != 0
-    cidx = jnp.where(need, comp1 - cidx, cidx)
-    qc0, qc1 = ([jnp.where(need, b, a) for a, b in zip(qc0, qc1)],
-                [jnp.where(need, a, b) for a, b in zip(qc0, qc1)])
+    need = (f1idx[0:1] & msb1) != 0
+    f1idx = jnp.where(need, comp1 - f1idx, f1idx)
+    sw_c1 = need & sel1
+    sw_a1 = need & ~sel1
+    qc0, qc1 = ([jnp.where(sw_c1, b, a) for a, b in zip(qc0, qc1)],
+                [jnp.where(sw_c1, a, b) for a, b in zip(qc0, qc1)])
+    qa0, qa1 = (jnp.where(sw_a1, qa1, qa0), jnp.where(sw_a1, qa0, qa1))
     msb2 = 1 << (mode.index_bits2 - 1)
     comp2 = (1 << mode.index_bits2) - 1
-    need2 = (aidx[0:1] & msb2) != 0
-    aidx = jnp.where(need2, comp2 - aidx, aidx)
-    qa0, qa1 = (jnp.where(need2, qa1, qa0), jnp.where(need2, qa0, qa1))
+    need2 = (f2idx[0:1] & msb2) != 0
+    f2idx = jnp.where(need2, comp2 - f2idx, f2idx)
+    sw_a2 = need2 & sel1
+    sw_c2 = need2 & ~sel1
+    qa0, qa1 = (jnp.where(sw_a2, qa1, qa0), jnp.where(sw_a2, qa0, qa1))
+    qc0, qc1 = ([jnp.where(sw_c2, b, a) for a, b in zip(qc0, qc1)],
+                [jnp.where(sw_c2, a, b) for a, b in zip(qc0, qc1)])
     z = jnp.zeros_like(st["rot"], U32)
     cols = [z, z, z, z]
     cols = _put(cols, jnp.zeros_like(st["rot"]) + (1 << mode.mode), 0,
@@ -470,7 +686,7 @@ def _pack_dual(mode, st):
     cols = _put(cols, st["rot"], pos, 2)
     pos += 2
     if mode.index_mode_bits:
-        cols = _put(cols, jnp.zeros_like(st["rot"]), pos, 1)
+        cols = _put(cols, sel, pos, 1)
         pos += 1
     for c in range(3):
         cols = _put(cols, qc0[c], pos, mode.colour_bits)
@@ -483,48 +699,66 @@ def _pack_dual(mode, st):
     pos += mode.alpha_bits
     for p in range(16):
         nb = mode.index_bits - (1 if p == 0 else 0)
-        cols = _put(cols, cidx[p:p + 1], pos, nb)
+        cols = _put(cols, f1idx[p:p + 1], pos, nb)
         pos += nb
     for p in range(16):
         nb = mode.index_bits2 - (1 if p == 0 else 0)
-        cols = _put(cols, aidx[p:p + 1], pos, nb)
+        cols = _put(cols, f2idx[p:p + 1], pos, nb)
         pos += nb
     return cols
 
 
 # ---------------------------------------------------------------- kernel ---
 def _budgets(quality: float):
+    """Mirrors kernels/bc7_full.py _budgets: (partition shortlist, topk,
+    fit iters, shake rounds, uber level)."""
     if quality <= 0.25:
-        return 16, 1, 1
+        return 16, 1, 1, 0, 0
     if quality <= 0.5:
-        return 32, 2, 2
+        return 32, 2, 2, 1, 1
     if quality <= 0.75:
-        return 64, 3, 2
-    return 64, 4, 3
+        return 64, 3, 2, 1, 2
+    # topk 8 = the reference's numShakeAttempts = 8 * quality at 1.0
+    return 64, 8, 3, 3, 4
 
 
-def _mode_kernel(x_ref, w0, w1, w2, w3, err_ref, *, mode, quality,
-                 plist_override=None, topk_override=None):
+def _mode_kernel(x_ref, *refs, mode, quality, nparts_k,
+                 plist_override=None, topk_override=None,
+                 shake_override=None, uber_override=None):
     """One BC7 mode per pallas program — keeps the VMEM live set bounded
-    (a single all-modes kernel needs a ~36 MB value stack)."""
+    (a single all-modes kernel needs a ~36 MB value stack).
+
+    For multi-subset modes an extra leading ref carries the shared top-k
+    partition-id rows computed once in XLA."""
+    if nparts_k:
+        parts_ref, w0, w1, w2, w3, err_ref = refs
+        part_ids = [parts_ref[k:k + 1, :] for k in range(nparts_k)]
+    else:
+        w0, w1, w2, w3, err_ref = refs
+        part_ids = None
     xs = [x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
           for c in range(4)]
-    w4 = (1.0, 1.0, 1.0, 1.0)
-    nparts, topk, iters = _budgets(quality)
+    nparts, topk, iters, shake, uber = _budgets(quality)
     plist = plist_override or (
         tuple(range(min(nparts, 16))) if mode.mode == 0
         else tuple(range(nparts)))
     topk = topk_override or topk
+    if shake_override is not None:
+        shake = shake_override
+    if uber_override is not None:
+        uber = uber_override
     if mode.mode in (4, 5):
-        st = _dual_mode(xs, mode, w4, iters)
+        st = _dual_mode(xs, mode, iters, shake, uber)
         err = st["err"]
         cols = _pack_dual(mode, st)
     elif mode.alpha_bits:
-        st = _single_mode(xs, mode, w4, plist, topk, iters)
+        st = _single_mode(xs, mode, plist, topk, iters, shake, uber,
+                          part_ids)
         err = st["err"]
         cols = _pack_single(mode, st)
     else:
-        st = _single_mode(xs[:3], mode, w4[:3], plist, topk, iters)
+        st = _single_mode(xs[:3], mode, plist, topk, iters, shake, uber,
+                          part_ids)
         da = xs[3] - 255.0
         err = st["err"] + jnp.sum(da * da, axis=0, keepdims=True)
         cols = _pack_single(mode, st)
@@ -536,10 +770,11 @@ def _mode_kernel(x_ref, w0, w1, w2, w3, err_ref, *, mode, quality,
 
 
 @partial(jax.jit, static_argnames=("quality", "mode_mask", "tile",
-                                  "_plist", "_topk"))
+                                  "_plist", "_topk", "_shake", "_uber"))
 def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
                              mode_mask: int = 0xFF, tile: int = TILE,
-                             _plist=None, _topk=None):
+                             _plist=None, _topk=None, _shake=None,
+                             _uber=None):
     """(N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err)."""
     n = blocks.shape[0]
     npad = -n % tile
@@ -551,18 +786,56 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
     xt = x.transpose(2, 1, 0).reshape(64, total)
     interpret = jax.default_backend() == "cpu"
 
+    # ---- shared partition estimation (one vectorized XLA pass per
+    # (subsets, channels) group, reused by every mode in the group —
+    # VERDICT r1 item 4; mirrors the reference's estimate-once structure)
+    from .bc7_full import _estimate_partitions_vec
+    nparts, topk, _, _, _ = _budgets(quality)
+    if _topk:
+        topk = _topk
+    pts255 = x * 255.0
+
+    def _top_rows(chans, subsets, plist, levels, k):
+        est = _estimate_partitions_vec(pts255[..., :chans], subsets,
+                                       plist, levels)
+        k = min(k, len(plist))
+        _, top = jax.lax.top_k(-est, k)
+        return jnp.asarray(plist, I32)[top].T, k       # (K,total)
+
+    plist_full = _plist or tuple(range(nparts))
+    plist16 = _plist or tuple(range(min(nparts, 16)))
+    part_rows = {}
+    if mode_mask & 0x0A:                               # modes 1, 3
+        part_rows[1] = part_rows[3] = _top_rows(3, 2, plist_full, 8, topk)
+    if mode_mask & 0x80:                               # mode 7
+        part_rows[7] = _top_rows(4, 2, plist_full, 4, topk)
+    if mode_mask & 0x04:                               # mode 2
+        part_rows[2] = _top_rows(3, 3, plist_full, 4, topk)
+    if mode_mask & 0x01:                               # mode 0
+        part_rows[0] = _top_rows(3, 3, plist16, 8, topk)
+
     best_err = None
     best_cols = None
     for m in BC7_MODES:
         if not (mode_mask >> m.mode) & 1:
             continue
+        rows_k = part_rows.get(m.mode)
+        nparts_k = rows_k[1] if rows_k is not None else 0
         kern = partial(_mode_kernel, mode=m, quality=quality,
-                       plist_override=_plist, topk_override=_topk)
+                       nparts_k=nparts_k,
+                       plist_override=_plist, topk_override=_topk,
+                       shake_override=_shake, uber_override=_uber)
+        in_specs = [pl.BlockSpec((64, tile), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)]
+        inputs = [xt]
+        if nparts_k:
+            in_specs.append(pl.BlockSpec((nparts_k, tile), lambda i: (0, i),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(rows_k[0])
         outs = pl.pallas_call(
             kern,
             grid=(total // tile,),
-            in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=in_specs,
             out_specs=tuple(
                 pl.BlockSpec((1, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM) for _ in range(5)),
@@ -570,7 +843,7 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
                 [jax.ShapeDtypeStruct((1, total), U32)] * 4
                 + [jax.ShapeDtypeStruct((1, total), F32)]),
             interpret=interpret,
-        )(xt)
+        )(*inputs)
         err = outs[4]
         if best_err is None:
             best_err = err

@@ -550,7 +550,14 @@ def _encode_pattern(din, fit: _ShapeFit, signed: bool):
     nsub = fit.nsub
     min_mode, max_mode = (1, 10) if nsub == 2 else (11, 14)
     npal = 16 if nsub == 1 else 8
-    best = None
+    # per-mode saved data (quantEndPoints[modes]/best_Indices[modes]): the
+    # reference keeps one slot per mode and saves quantEndPoints[bestFit]
+    # at the end (bc6h:1363-1364, 1481), so bestFit's id and data always
+    # pair up even when the one-region bestEndpointMode arithmetic picks a
+    # mode other than the error-best one.
+    saved = {}
+    toterr = {}
+    best_fit = None
     best_error = np.inf
     best_ep_err = np.inf
     best_ep_mode = 0
@@ -575,6 +582,8 @@ def _encode_pattern(din, fit: _ShapeFit, signed: bool):
                 for j, v in enumerate(new_idx[s]):
                     idxs[s][j] = v
         err = _calc_shape_error(din, palettes, fit.sel)
+        saved[mode] = (q, idxs)
+        toterr[mode] = err
         if nsub == 1:
             # CalcOneRegionEndPtsError with its |a-a|=0 bug (bc6h:760-781)
             ep_err = 0.0
@@ -588,23 +597,25 @@ def _encode_pattern(din, fit: _ShapeFit, signed: bool):
         if err < best_error:
             ok = True
             if not signed:
-                ieps = _quantize_endpoints(unc, m.base_bits, signed)
-                _swap_indices(ieps, idxs, fit.counts, mode, fit.shape)
-                q = _transform_endpoints(ieps, mode, nsub)
-                ok = q is not None
+                # unsigned path requantizes from the decompressed floats
+                # (bc6h:1458-1462) into this mode's slot
+                ieps2 = _quantize_endpoints(unc, m.base_bits, signed)
+                _swap_indices(ieps2, idxs, fit.counts, mode, fit.shape)
+                q2 = _transform_endpoints(ieps2, mode, nsub)
+                ok = q2 is not None
+                if ok:
+                    saved[mode] = (q2, idxs)
             if ok:
-                pick = mode if nsub == 2 else min(mode, best_ep_mode)
-                best_error = err
-                best = (pick if pick == mode else mode, q, idxs)
-                # reference tracks bestFit then reads opt data for bestFit;
-                # with identical search data keeping this mode's q is the
-                # faithful observable outcome for nsub==2; for nsub==1 the
-                # bestFit arithmetic selects min(mode, best_ep_mode) whose
-                # saved data is this iteration's (bc6h:1464-1474)
-                best = (pick, q, idxs)
-    if best is None:
+                if nsub == 1:
+                    best_fit = mode if mode == best_ep_mode \
+                        else min(mode, best_ep_mode)
+                else:
+                    best_fit = mode
+                best_error = toterr.get(best_fit, err)
+    if best_fit is None or best_fit not in saved:
         return None
-    mode, q, idxs = best
+    mode = best_fit
+    q, idxs = saved[best_fit]
     # zip subset indices into block order (SaveCompressedBlockData 691-702)
     pos = [0, 0]
     indices16 = np.zeros(16, np.int64)

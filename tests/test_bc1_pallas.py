@@ -47,6 +47,29 @@ def test_padding_tail():
     assert (np.asarray(wp) == np.asarray(wx)).all(axis=1).mean() > 0.8
 
 
+def test_punch_through_alpha_mask_bit_exact():
+    """Fused punch-through path: transparent pixels decode transparent
+    (index 3 of the 3-colour mode), opaque pixels decode opaque, and the
+    masked error model stays decode-exact."""
+    img = photo_rgba(16, 16, seed=55)
+    img[..., 3] = 1.0
+    img[::3, ::2, 3] = 0.2          # punch holes
+    b = image_to_blocks(jnp.asarray(img[None]))
+    wp, ep = encode_bc1_blocks_pallas(b, tile=8, use_alpha=True,
+                                      alpha_threshold=0.5)
+    dec = np.asarray(decode_bc1(wp))            # (N,16,4) with alpha
+    src = np.asarray(b)
+    opaque = src[..., 3] >= 0.5
+    assert (np.asarray(dec[..., 3] > 127) == opaque).all()
+    w = np.array([0.3086, 0.6094, 0.0820])
+    rec = ((((src[..., :3] * 255.0 - dec[..., :3]) ** 2) * w)
+           * opaque[..., None]).sum(axis=(1, 2))
+    np.testing.assert_allclose(rec, ep, rtol=1e-4, atol=0.5)
+    # parity with the XLA punch-through path
+    wx, ex = encode_bc1_blocks(b, alpha_threshold=0.5, use_alpha=True)
+    assert np.asarray(ep).sum() <= np.asarray(ex).sum() * 1.001 + 1.0
+
+
 def test_force_four_mode():
     b = _blocks(54)
     wp, ep = encode_bc1_blocks_pallas(b, tile=8, allow_three=False)

@@ -1,6 +1,7 @@
 """Fast BC7 (modes 1+6) encoder tests."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from gfx_imagecompress_tpu.decode.bc7 import decode_bc7
 from gfx_imagecompress_tpu.kernels.bc7_fast import encode_bc7_fast_blocks
@@ -19,7 +20,7 @@ def _rt(img, **kw):
 
 def test_mode_bits_valid():
     img = noise_rgba(16, 16, seed=0)
-    words, dec, src, err = _rt(img)
+    words, dec, src, err = _rt(img, fast=True)
     byte0 = words[:, 0] & 0xFF
     assert (byte0 != 0).all()
     modes = np.array([(int(b) & -int(b)).bit_length() - 1 for b in byte0])
@@ -30,7 +31,7 @@ def test_encoder_error_model_matches_decoder():
     """The error the encoder reports must equal the squared error recomputed
     from the decoded ints — proves packer/decoder/internal model agree."""
     img = noise_rgba(32, 32, seed=2)
-    words, dec, src, err = _rt(img, perceptual=False)
+    words, dec, src, err = _rt(img, fast=True, perceptual=False)
     recomputed = ((src - dec) ** 2).sum(axis=(1, 2))
     np.testing.assert_allclose(recomputed, err, rtol=1e-4, atol=0.5)
 
@@ -38,13 +39,14 @@ def test_encoder_error_model_matches_decoder():
 def test_alpha_blocks_use_mode6():
     img = photo_rgba(16, 16, seed=3)
     img[..., 3] = 0.5
-    words, dec, src, err = _rt(img)
+    words, dec, src, err = _rt(img, fast=True)
     byte0 = words[:, 0] & 0xFF
     modes = np.array([(int(b) & -int(b)).bit_length() - 1 for b in byte0])
     assert (modes == 6).all()
     assert psnr(src, dec) > 30
 
 
+@pytest.mark.slow
 def test_quality_opaque():
     img = photo_rgba(32, 32, seed=4)
     words, dec, src, err = _rt(img, perceptual=False)
@@ -54,10 +56,11 @@ def test_quality_opaque():
 
 def test_gradient_quality():
     img = gradient_rgba(64, 64)
-    words, dec, src, err = _rt(img, perceptual=False)
+    words, dec, src, err = _rt(img, fast=True, perceptual=False)
     assert psnr(src, dec) > 40
 
 
+@pytest.mark.slow
 def test_fast_vs_full_tradeoff():
     img = photo_rgba(32, 32, seed=5)
     b = image_to_blocks(jnp.asarray(img[None]))
@@ -70,5 +73,5 @@ def test_solid_blocks_near_lossless():
     img = np.zeros((8, 8, 4), np.float32)
     img[:4] = [0.2, 0.6, 0.9, 1.0]
     img[4:] = [1.0, 0.0, 0.0, 1.0]
-    words, dec, src, err = _rt(img, perceptual=False)
+    words, dec, src, err = _rt(img, fast=True, perceptual=False)
     assert psnr(src, dec) > 45

@@ -25,7 +25,7 @@ def _modes(words):
 
 def test_error_model_matches_decoder():
     img = photo_rgba(16, 16, seed=11)
-    words, dec, src, err = _rt(img)
+    words, dec, src, err = _rt(img, quality=0.6)
     recomputed = ((src - dec) ** 2).sum(axis=(1, 2))
     np.testing.assert_allclose(recomputed, err, rtol=1e-4, atol=0.5)
 
@@ -34,7 +34,7 @@ def test_error_model_matches_decoder_with_alpha():
     img = photo_rgba(16, 16, seed=12)
     y = np.mgrid[0:16, 0:16][0].astype(np.float32)
     img[..., 3] = y / 15.0
-    words, dec, src, err = _rt(img)
+    words, dec, src, err = _rt(img, quality=0.6)
     recomputed = ((src - dec) ** 2).sum(axis=(1, 2))
     np.testing.assert_allclose(recomputed, err, rtol=1e-4, atol=0.5)
     # alpha blocks must decode alpha well (modes 4-7 available)
@@ -45,15 +45,15 @@ def test_full_beats_or_matches_fast():
     from gfx_imagecompress_tpu.kernels.bc7_fast import encode_bc7_fast_blocks
     img = photo_rgba(32, 32, seed=13)
     b = image_to_blocks(jnp.asarray(img[None]))
-    _, e_fast = encode_bc7_fast_blocks(b, perceptual=False)
-    _, e_full = encode_bc7_blocks(b)
+    _, e_fast = encode_bc7_fast_blocks(b, fast=True, perceptual=False)
+    _, e_full = encode_bc7_blocks(b, quality=0.6)
     assert np.asarray(e_full).sum() <= np.asarray(e_fast).sum() * 1.001
 
 
 def test_mode_mask_restricts():
     img = photo_rgba(16, 16, seed=14)
     for mask, allowed in ((0x40, {6}), (0x02, {1}), (0x22, {1, 5})):
-        words, dec, src, err = _rt(img, mode_mask=mask)
+        words, dec, src, err = _rt(img, mode_mask=mask, quality=0.3)
         assert set(_modes(words).tolist()) <= allowed
 
 
@@ -61,12 +61,25 @@ def test_quality_budget_monotonic():
     img = photo_rgba(32, 32, seed=15)
     b = image_to_blocks(jnp.asarray(img[None]))
     _, e_low = encode_bc7_blocks(b, quality=0.2)
-    _, e_high = encode_bc7_blocks(b, quality=1.0)
+    _, e_high = encode_bc7_blocks(b, quality=0.6)
     assert np.asarray(e_high).sum() <= np.asarray(e_low).sum() * 1.001
 
 
 def test_gradient_high_quality():
     img = gradient_rgba(32, 32)
     img[..., 3] = 1.0
-    words, dec, src, err = _rt(img)
+    words, dec, src, err = _rt(img, quality=0.6)
     assert psnr(src, dec) > 40
+
+
+@pytest.mark.slow
+def test_max_quality_decode_exact_and_monotonic():
+    """Full q=1.0 budgets (topk8/shake3/uber4): decode-exact error model
+    and no regression vs q=0.6. Heavy compile -> RUN_SLOW gate."""
+    img = photo_rgba(16, 16, seed=16)
+    words, dec, src, err = _rt(img, quality=1.0)
+    recomputed = ((src - dec) ** 2).sum(axis=(1, 2))
+    np.testing.assert_allclose(recomputed, err, rtol=1e-4, atol=0.5)
+    b = image_to_blocks(jnp.asarray(img[None]))
+    _, e_mid = encode_bc7_blocks(b, quality=0.6)
+    assert np.asarray(err).sum() <= np.asarray(e_mid).sum() * 1.001

@@ -64,3 +64,21 @@ def test_sharded_pallas_bc1_matches_single_device():
     np.testing.assert_array_equal(gather_words(words), np.asarray(ref_words))
     expect = float(np.asarray(ref_err).sum()) / (blocks.shape[0] * 16)
     np.testing.assert_allclose(float(mse), expect, rtol=1e-5)
+
+
+def test_init_multihost_single_process_noop(monkeypatch):
+    """Single-process env: init_multihost must be a safe no-op."""
+    from gfx_imagecompress_tpu.dist.sharded import init_multihost
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert init_multihost() is False
+
+
+def test_gather_words_global_single_process():
+    from gfx_imagecompress_tpu.dist.sharded import gather_words_global
+    img = photo_rgba(16, 16, seed=25)
+    blocks = image_to_blocks(jnp.asarray(img[None]))
+    words, err, _ = shard_encode(encode_bc1_blocks, blocks, make_mesh())
+    ref_words, _ = encode_bc1_blocks(blocks)
+    np.testing.assert_array_equal(gather_words_global(words),
+                                  np.asarray(ref_words))
