@@ -16,6 +16,19 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Persistent on-disk compilation cache: the suite's cost is almost entirely
+# XLA-CPU compiles of interpret-mode Pallas search graphs (~73 min serial,
+# measured per-module), so warm reruns drop to minutes. The cache survives
+# jax.clear_caches() (which only drops in-memory executables) and is keyed
+# by HLO, so kernel edits miss cleanly. The cpu_aot_loader "machine feature
+# +prefer-no-scatter" warnings this triggers are LLVM tuning hints, not ISA
+# requirements — execution is unaffected.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):
