@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .. import bitpack
@@ -29,8 +30,8 @@ I32 = jnp.int32
 
 # interpolation weights of ramp slots 0..7 for the LSQ fit (slot k maps to
 # a0 + w*(a1-a0)); 6-mode slots 6/7 are the literal 0/255 extremes.
-W8 = jnp.asarray([0.0, 1.0, 1 / 7, 2 / 7, 3 / 7, 4 / 7, 5 / 7, 6 / 7], F32)
-W6 = jnp.asarray([0.0, 1.0, 1 / 5, 2 / 5, 3 / 5, 4 / 5], F32)
+W8 = np.asarray([0.0, 1.0, 1 / 7, 2 / 7, 3 / 7, 4 / 7, 5 / 7, 6 / 7], np.float32)  # np: keep package import backend-free
+W6 = np.asarray([0.0, 1.0, 1 / 5, 2 / 5, 3 / 5, 4 / 5], np.float32)
 
 
 def _exact_palette(a0: jnp.ndarray, a1: jnp.ndarray) -> jnp.ndarray:
