@@ -76,6 +76,7 @@ def _fit_ramp(vals, weights_tbl, interp_slots: int, iters: int,
     the endpoints can hug the interior cluster (this is what makes the
     6-point mode win on blocks with outliers, amd_bcx_helpers.cpp:132-138).
     """
+    weights_tbl = jnp.asarray(weights_tbl)  # np table -> traceable indexing
     e0 = jnp.min(vals, axis=-1)
     e1 = jnp.max(vals, axis=-1)
     w = weights_tbl[:interp_slots]
