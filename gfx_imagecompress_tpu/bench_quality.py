@@ -221,8 +221,10 @@ def run(fast=False, refresh=False, only=None, procs=None):
     if dirty:
         with open(_CACHE_PATH, "w") as f:
             json.dump(cache, f, indent=1, sort_keys=True)
-    with open("quality_results.json", "w") as f:
-        json.dump(results, f, indent=1)
+    if not only:
+        # partial (--only) runs must not clobber the full-matrix artifact
+        with open("quality_results.json", "w") as f:
+            json.dump(results, f, indent=1)
     worst = min((r["delta_db"] for r in results), default=0.0)
     print(json.dumps({"metric": "quality_vs_reference_worst_delta",
                       "value": round(worst, 3), "unit": "dB",
