@@ -109,9 +109,18 @@ def main():
     if time_left() < 60:
         results["skipped_after"] = "bc1"
         return _emit(results, bc1_mts)
-    g = image_to_blocks(jnp.asarray(photo(512, 512, 4)[None]))[:, :, 0]
+    g2 = image_to_blocks(jnp.asarray(photo(512, 512, 4)[None]))
+    g = g2[:, :, 0]
     dt = _marginal_time(encode_bc4_blocks_pallas, g)
     results["bc4_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
+
+    def bc5(b):
+        rw, re = encode_bc4_blocks_pallas(b[:, :, 0])
+        gw, ge = encode_bc4_blocks_pallas(b[:, :, 1])
+        return jnp.concatenate([rw, gw], 1), re + ge
+
+    dt = _marginal_time(bc5, g2)
+    results["bc5_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
 
     # --- config 3: BC2/BC3 1K RGBA ---
     if time_left() < 90:
