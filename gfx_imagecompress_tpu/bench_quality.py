@@ -113,6 +113,17 @@ def fw_encode(codec, opts, blocks):
     elif codec == "bc4":
         from .kernels.bc4 import encode_bc4_blocks
         w, _ = encode_bc4_blocks(b[:, :, 0])
+    elif codec in ("bc2", "bc3"):
+        from .kernels.bc1 import encode_bc1_blocks
+        from .kernels.bc4 import (encode_bc2_alpha_blocks,
+                                  encode_bc4_blocks)
+        cw, _ = encode_bc1_blocks(b, force_four_decode=True,
+                                  allow_three=False)
+        if codec == "bc2":
+            aw, _ = encode_bc2_alpha_blocks(b[:, :, 3])
+        else:
+            aw, _ = encode_bc4_blocks(b[:, :, 3])
+        w = jnp.concatenate([aw, cw], axis=1)
     elif codec == "bc7_fast":
         from .kernels.bc7_fast import encode_bc7_fast_blocks
         w, _ = encode_bc7_fast_blocks(b, **opts)
@@ -139,6 +150,8 @@ def config_matrix(fast=False):
          dict(use_alpha=True, alpha_threshold01=128 / 255.0),
          dict(use_alpha=True, alpha_threshold=128 / 255.0), "bc1"),
         ("bc4", "bc4", (nb, sb, "opaque"), {}, {}, "bc4"),
+        ("bc2", "bc2", (nb, sb, "gradient"), {}, {}, "bc2"),
+        ("bc3", "bc3", (nb, sb, "gradient"), {}, {}, "bc3"),
         ("bc7_fast", "bc7_fast", (nb, sb, "opaque"),
          dict(fast=False, perceptual=False),
          dict(fast=False, perceptual=False), "bc7"),
@@ -170,6 +183,10 @@ def _decode_psnr(kind, words, blocks):
         dec = native.decode_bc4(words)
         return _psnr_rgb_u8(dec[..., None],
                             np.rint(blocks[..., :1] * 255.0), 1)
+    if kind in ("bc2", "bc3"):
+        dec = (native.decode_bc2 if kind == "bc2"
+               else native.decode_bc3)(np.ascontiguousarray(words))
+        return _psnr_rgb_u8(dec, np.rint(blocks[..., :4] * 255.0), 4)
     if kind == "bc7":
         dec = native.decode_bc7(words)
         return _psnr_rgb_u8(dec, np.rint(blocks[..., :3] * 255.0))

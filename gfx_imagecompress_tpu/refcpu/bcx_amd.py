@@ -582,21 +582,25 @@ def encode_bc4_blocks(scalars01):
 
 
 def encode_bc3_blocks(blocks01, b3d=False, steps=1, adaptive_weights=False):
+    # the reference BC3 driver pairs the DXT5 alpha block with the 4-pt-only
+    # RGB block (Image_CompressAMDRGBSingleModeBlock), NOT the BC1 3/4-pt
+    # racer (amd_bc3_compressor.cpp:41-46)
     out = np.empty((len(blocks01), 4), np.uint32)
     for i, b in enumerate(blocks01):
         b = np.asarray(b, F)
         _, aw = encode_alpha_block(b[:, 3])
-        _, cw = encode_bc1_block(b, b3d, steps, adaptive_weights, 0.0)
+        _, cw = encode_rgb_block(b[:, :3], b3d, steps, adaptive_weights)
         out[i, :2] = aw
         out[i, 2:] = cw
     return out
 
 
 def encode_bc2_blocks(blocks01, b3d=False, steps=1, adaptive_weights=False):
+    # 4-bit explicit alpha + 4-pt-only RGB block (amd_bc2_compressor.cpp:41-46)
     out = np.empty((len(blocks01), 4), np.uint32)
     for i, b in enumerate(blocks01):
         b = np.asarray(b, F)
         out[i, :2] = encode_explicit_alpha_block(b[:, 3])
-        _, cw = encode_bc1_block(b, b3d, steps, adaptive_weights, 0.0)
+        _, cw = encode_rgb_block(b[:, :3], b3d, steps, adaptive_weights)
         out[i, 2:] = cw
     return out

@@ -16,7 +16,7 @@ import pytest
 
 from gfx_imagecompress_tpu.bench_quality import run
 
-CHEAP = ["bc1", "bc1_punch", "bc4", "bc7_fast", "bc7_fastest"]
+CHEAP = ["bc1", "bc1_punch", "bc4", "bc2", "bc3", "bc7_fast", "bc7_fastest"]
 HEAVY = ["bc7_full_q1", "bc7_full_q0.6", "bc7_full_q0.3",
          "bc7_full_alpha", "bc6h_uf", "bc6h_sf"]
 
