@@ -48,6 +48,11 @@ LEVELS4 = tuple(w / 64.0 for w in WEIGHTS4)
 # distinct subset-1 anchor pixels across the 32 two-region shapes
 _ANCHOR_CLASSES = (2, 8, 15)
 
+# representative mode objects for region-dependent helpers (_swap_for_anchors
+# reads only .regions)
+_TWO_ANY = next(m for m in BC6H_MODES if m.regions == 2)
+_ONE_ANY = next(m for m in BC6H_MODES if m.regions == 1)
+
 
 def f32_to_half_int(x: jnp.ndarray, signed: bool) -> jnp.ndarray:
     """float32 -> int32 half representation.
@@ -89,14 +94,25 @@ def _quantize(u: jnp.ndarray, prec: int, signed: bool) -> jnp.ndarray:
     return jnp.where(uq < 0, -q, q)
 
 
-def _palette_err(h_pts, mask, q0, q1, prec, signed, index_bits: int):
-    """Exact decode-path palette evaluation.
+def _unquantize_dyn(q, prec_arr, signed, precs):
+    """Unquantize with a per-block precision (select over the static set)."""
+    out = None
+    for p in precs:
+        u = _unquantize(q, p, signed)
+        sel = (prec_arr == p)
+        sel = sel.reshape(sel.shape + (1,) * (q.ndim - sel.ndim))
+        out = u if out is None else jnp.where(sel, u, out)
+    return out
 
-    h_pts (N,16,3) half-int targets; q0/q1 (N,3) quantized endpoints.
+
+def _palette_err_u(h_pts, mask, u0, u1, signed, index_bits: int):
+    """Exact decode-path palette evaluation from unquantized endpoints.
+
+    h_pts (N,16,3) half-int targets; u0/u1 (N,3) UNQUANTIZED endpoints.
     Returns (err (N,), idx (N,16)). Error = squared diff in half-int space.
     """
-    u0 = _unquantize(q0, prec, signed)[:, None, :]        # (N,1,3)
-    u1 = _unquantize(q1, prec, signed)[:, None, :]
+    u0 = u0[:, None, :]                                   # (N,1,3)
+    u1 = u1[:, None, :]
     wt = jnp.asarray(WEIGHTS3 if index_bits == 3 else WEIGHTS4, I32)
     k = wt.shape[0]
     v = (u0[:, :, None] * (64 - wt)[None, None, :, None]
@@ -116,6 +132,12 @@ def _palette_err(h_pts, mask, q0, q1, prec, signed, index_bits: int):
     return err, idx
 
 
+def _palette_err(h_pts, mask, q0, q1, prec, signed, index_bits: int):
+    """Exact decode-path palette evaluation (static precision)."""
+    return _palette_err_u(h_pts, mask, _unquantize(q0, prec, signed),
+                          _unquantize(q1, prec, signed), signed, index_bits)
+
+
 def _delta_ok(d: jnp.ndarray, bits: int) -> jnp.ndarray:
     lo = -(1 << (bits - 1))
     hi = (1 << (bits - 1)) - 1
@@ -126,30 +148,40 @@ _SHAKE_DELTAS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
                  (1, -1), (1, 0), (1, 1))
 
 
-def _shake_q(h_pts, mask, q0, q1, prec, signed, index_bits: int, idx,
-             rounds: int):
+def _shake_q(h_pts, mask, q0, q1, prec_arr, signed, index_bits: int, idx,
+             rounds: int, precs):
     """Quantized-space endpoint shaker — the BC6H analog of ep_shaker_HD /
     ep_shaker_2_d float (amd_hdr_encode.cpp:2280+, 2616+): sweep each
     channel's endpoint-code pair over a +-1 cube with the current indices
     fixed, keep per-channel argmin, then requantize indices against the
     exact decode palette and iterate. All error is decode-true half-space.
 
+    Runs on the RACE WINNER only (the reference shakes only its sorted
+    best pattern, amd_bc6h_body.cpp:643-709), so the precision is
+    per-block data: ``prec_arr`` (N,) selects from the static ``precs``.
+
     q0/q1 (N,3) prec-bit codes (signed: sign-magnitude ints). Returns
     (err, q0, q1, idx).
     """
     wt = jnp.asarray(WEIGHTS3 if index_bits == 3 else WEIGHTS4, I32)
     if signed:
-        qlo, qhi = -((1 << (prec - 1)) - 1), (1 << (prec - 1)) - 1
+        qlo = -jnp.asarray([(1 << (p - 1)) - 1 for p in precs], I32)
+        qhi = -qlo
     else:
-        qlo, qhi = 0, (1 << prec) - 1
+        qlo = jnp.zeros((len(precs),), I32)
+        qhi = jnp.asarray([(1 << p) - 1 for p in precs], I32)
+    sel = jnp.stack([(prec_arr == p) for p in precs], -1)   # (N,len)
+    qlo_a = jnp.sum(jnp.where(sel, qlo, 0), axis=-1)        # (N,)
+    qhi_a = jnp.sum(jnp.where(sel, qhi, 0), axis=-1)
+    err = None
     for _ in range(rounds):
         wk = wt[idx]                                       # (N,16)
         for c in range(3):
             q0c, q1c = q0[:, c], q1[:, c]
 
             def ch_err(a, b, wk=wk, c=c):
-                u0 = _unquantize(a, prec, signed)[:, None]
-                u1 = _unquantize(b, prec, signed)[:, None]
+                u0 = _unquantize_dyn(a, prec_arr, signed, precs)[:, None]
+                u1 = _unquantize_dyn(b, prec_arr, signed, precs)[:, None]
                 v = (u0 * (64 - wk) + u1 * wk + 32) >> 6
                 pal = _finish(v, signed)
                 if signed:
@@ -160,8 +192,8 @@ def _shake_q(h_pts, mask, q0, q1, prec, signed, index_bits: int, idx,
             best_e = ch_err(q0c, q1c)
             b0, b1 = q0c, q1c
             for da, db in _SHAKE_DELTAS:
-                nq0 = jnp.clip(q0c + da, qlo, qhi)
-                nq1 = jnp.clip(q1c + db, qlo, qhi)
+                nq0 = jnp.clip(q0c + da, qlo_a, qhi_a)
+                nq1 = jnp.clip(q1c + db, qlo_a, qhi_a)
                 e = ch_err(nq0, nq1)
                 bt = e < best_e
                 best_e = jnp.where(bt, e, best_e)
@@ -169,64 +201,101 @@ def _shake_q(h_pts, mask, q0, q1, prec, signed, index_bits: int, idx,
                 b1 = jnp.where(bt, nq1, b1)
             q0 = q0.at[:, c].set(b0)
             q1 = q1.at[:, c].set(b1)
-        err, idx = _palette_err(h_pts, mask, q0, q1, prec, signed,
-                                index_bits)
+        err, idx = _palette_err_u(
+            h_pts, mask, _unquantize_dyn(q0, prec_arr, signed, precs),
+            _unquantize_dyn(q1, prec_arr, signed, precs), signed,
+            index_bits)
     return err, q0, q1, idx
 
 
-def _eval_mode_two(h_pts, u_pts, m, shape, sub, e, signed, shake: int = 0):
-    """Evaluate a 2-region mode for a chosen shape.
-
-    e = (e0s0, e1s0, e0s1, e1s1) float endpoints in work domain.
-    Returns (err, q (N,4,3), idx (N,16)) with err=inf where deltas overflow.
+def _shake_best(h_pts, best, modes, signed, rounds, regions, ptab_j):
+    """Shake the race winner's endpoints (per-block mode => dynamic prec),
+    then re-swap anchors and re-gate; blocks whose shaken result overflows
+    the winner mode's deltas (or doesn't improve) keep the unshaken one.
     """
-    n = h_pts.shape[0]
-    prec = m.base_bits
+    best_err, mode, shape, qs, idx = best
+    precs = tuple(sorted({m.base_bits for _, m in modes}))
+    prec_arr = jnp.zeros_like(mode)
+    for mi, m in modes:
+        prec_arr = jnp.where(mode == mi, m.base_bits, prec_arr)
+    if regions == 2:
+        sub = ptab_j[shape]
+        mask0 = (sub == 0).astype(F32)
+        mask1 = (sub == 1).astype(F32)
+        err0, q0, q1, idx0 = _shake_q(h_pts, mask0, qs[:, 0], qs[:, 1],
+                                      prec_arr, signed, 3, idx, rounds,
+                                      precs)
+        err1, q2, q3, idx1 = _shake_q(h_pts, mask1, qs[:, 2], qs[:, 3],
+                                      prec_arr, signed, 3, idx, rounds,
+                                      precs)
+        err_sh = err0 + err1
+        idx_sh = jnp.where(sub == 0, idx0, idx1)
+        q_sh = jnp.stack([q0, q1, q2, q3], 1)
+        qs_sw, idx_sw, _, _ = _swap_for_anchors(_TWO_ANY, shape, q_sh,
+                                                idx_sh)
+    else:
+        mask = jnp.ones(h_pts.shape[:2], F32)
+        err_sh, q0, q1, idx_sh = _shake_q(h_pts, mask, qs[:, 0], qs[:, 1],
+                                          prec_arr, signed, 4, idx, rounds,
+                                          precs)
+        q_sh = jnp.stack([q0, q1, q0, q1], 1)
+        qs_sw, idx_sw, _, _ = _swap_for_anchors(
+            _ONE_ANY, jnp.zeros_like(shape), q_sh, idx_sh)
+    err_g = err_sh
+    for mi, m in modes:
+        if m.transformed:
+            err_g = jnp.where(mode == mi, _gate_mode(m, qs_sw, err_sh),
+                              err_g)
+    take = err_g < best_err
+    return (jnp.where(take, err_g, best_err), mode, shape,
+            jnp.where(take[:, None, None], qs_sw, qs),
+            jnp.where(take[:, None], idx_sw, idx))
+
+
+def _gate_mode(m, qs, err):
+    """Delta-fit gate for one mode on anchor-swapped endpoints."""
+    if not m.transformed:
+        return err
+    ok = None
+    js = (1, 2, 3) if m.regions == 2 else (1,)
+    for j in js:
+        d = qs[:, j] - qs[:, 0]
+        for c in range(3):
+            o = _delta_ok(d[:, c], m.delta_bits[c])
+            ok = o if ok is None else ok & o
+    return jnp.where(ok, err, jnp.inf)
+
+
+def _eval_prec_two(h_pts, prec, shape, sub, e, signed):
+    """Quantize + palette-evaluate one 2-region precision for a shape.
+
+    The decode palette depends only on (prec, signed) — never on which
+    mode carries it — so every mode sharing a precision shares this
+    evaluation. e = (e0s0, e1s0, e0s1, e1s1) work-domain floats.
+    Returns (err, qs (N,4,3) anchor-swapped, idx (N,16) swapped).
+    """
     q = [_quantize(x, prec, signed) for x in e]            # 4 x (N,3)
     mask0 = (sub == 0).astype(F32)
     mask1 = (sub == 1).astype(F32)
     err0, idx0 = _palette_err(h_pts, mask0, q[0], q[1], prec, signed, 3)
     err1, idx1 = _palette_err(h_pts, mask1, q[2], q[3], prec, signed, 3)
-    if shake:
-        err0, q0n, q1n, idx0 = _shake_q(h_pts, mask0, q[0], q[1], prec,
-                                        signed, 3, idx0, shake)
-        err1, q2n, q3n, idx1 = _shake_q(h_pts, mask1, q[2], q[3], prec,
-                                        signed, 3, idx1, shake)
-        q = [q0n, q1n, q2n, q3n]
     err = err0 + err1
     idx = jnp.where(sub == 0, idx0, idx1)
     # anchor swap BEFORE the delta-fit gate: swapping negates deltas, and
     # the two's-complement range is asymmetric (reference order:
     # SwapIndices -> TransformEndPoints -> endpts_fit, bc6h:1393-1440)
-    qs, idx, _, _ = _swap_for_anchors(m, shape, jnp.stack(q, 1), idx)
-    if m.transformed:
-        ok = jnp.ones((n,), bool)
-        for j in (1, 2, 3):
-            d = qs[:, j] - qs[:, 0]
-            for c in range(3):
-                ok = ok & _delta_ok(d[:, c], m.delta_bits[c])
-        err = jnp.where(ok, err, jnp.inf)
+    qs, idx, _, _ = _swap_for_anchors(_TWO_ANY, shape, jnp.stack(q, 1), idx)
     return err, qs, idx
 
 
-def _eval_mode_one(h_pts, u_pts, m, e0, e1, signed, shake: int = 0):
+def _eval_prec_one(h_pts, prec, e0, e1, signed):
     n = h_pts.shape[0]
-    prec = m.base_bits
     q0 = _quantize(e0, prec, signed)
     q1 = _quantize(e1, prec, signed)
     mask = jnp.ones((n, 16), F32)
     err, idx = _palette_err(h_pts, mask, q0, q1, prec, signed, 4)
-    if shake:
-        err, q0, q1, idx = _shake_q(h_pts, mask, q0, q1, prec, signed, 4,
-                                    idx, shake)
     qs, idx, _, _ = _swap_for_anchors(
-        m, jnp.zeros((n,), I32), jnp.stack([q0, q1, q0, q1], 1), idx)
-    if m.transformed:
-        ok = jnp.ones((n,), bool)
-        d = qs[:, 1] - qs[:, 0]
-        for c in range(3):
-            ok = ok & _delta_ok(d[:, c], m.delta_bits[c])
-        err = jnp.where(ok, err, jnp.inf)
+        _ONE_ANY, jnp.zeros((n,), I32), jnp.stack([q0, q1, q0, q1], 1), idx)
     return err, qs, idx
 
 
@@ -372,39 +441,66 @@ def encode_bc6h_blocks(blocks: jnp.ndarray, *, signed: bool = False,
     e0_1r, e1_1r = fit_line_iterative(
         u_pts, ones, LEVELS4, iters, jnp.asarray((1.0, 1.0, 1.0), F32))
 
-    best_err = jnp.full((n,), jnp.inf, F32)
-    best_mode = jnp.zeros((n,), I32)
-    best_shape = jnp.zeros((n,), I32)
-    best_q = jnp.zeros((n, 4, 3), I32)
-    best_idx = jnp.zeros((n, 16), I32)
-
     ptab_j = jnp.asarray(ptab)
-    for mi, m in enumerate(BC6H_MODES):
-        if not (mode_mask >> (m.mode - 1)) & 1:
-            continue
-        if m.regions == 2:
-            for k in range(topk):
-                shape = top_shapes[:, k]
-                sub = ptab_j[shape]
-                e = list(fits_k[k])
-                err, q, idx = _eval_mode_two(h_pts, u_pts, m, shape, sub, e,
-                                             signed, shake)
-                better = err < best_err
-                best_err = jnp.minimum(err, best_err)
-                best_mode = jnp.where(better, mi, best_mode)
-                best_shape = jnp.where(better, shape, best_shape)
-                best_q = jnp.where(better[:, None, None], q, best_q)
-                best_idx = jnp.where(better[:, None], idx, best_idx)
-        else:
-            err, q, idx = _eval_mode_one(h_pts, u_pts, m, e0_1r, e1_1r,
-                                         signed, shake)
-            better = err < best_err
-            best_err = jnp.minimum(err, best_err)
-            best_mode = jnp.where(better, mi, best_mode)
-            best_shape = jnp.where(better, 0, best_shape)
-            best_q = jnp.where(better[:, None, None], q, best_q)
-            best_idx = jnp.where(better[:, None], idx, best_idx)
+    two_modes = [(mi, m) for mi, m in enumerate(BC6H_MODES)
+                 if m.regions == 2 and (mode_mask >> (m.mode - 1)) & 1]
+    one_modes = [(mi, m) for mi, m in enumerate(BC6H_MODES)
+                 if m.regions == 1 and (mode_mask >> (m.mode - 1)) & 1]
+    groups2: dict = {}
+    for mi, m in two_modes:
+        groups2.setdefault(m.base_bits, []).append((mi, m))
+    groups1: dict = {}
+    for mi, m in one_modes:
+        groups1.setdefault(m.base_bits, []).append((mi, m))
 
+    def merge(best, cand):
+        if best is None:
+            return cand
+        better = cand[0] < best[0]
+        return (jnp.minimum(cand[0], best[0]),
+                jnp.where(better, cand[1], best[1]),
+                jnp.where(better, cand[2], best[2]),
+                jnp.where(better[:, None, None], cand[3], best[3]),
+                jnp.where(better[:, None], cand[4], best[4]))
+
+    # ---- 2-region race, grouped by precision: the decode palette depends
+    # only on (prec, signed), so each precision is quantized and evaluated
+    # once per shape and every mode sharing it just applies its delta gate
+    best2 = None
+    for k in range(topk):
+        shape = top_shapes[:, k]
+        sub = ptab_j[shape]
+        e = list(fits_k[k])
+        for prec, group in groups2.items():
+            err, qs, idx = _eval_prec_two(h_pts, prec, shape, sub, e, signed)
+            for mi, m in group:
+                err_m = _gate_mode(m, qs, err)
+                best2 = merge(best2, (err_m, jnp.full((n,), mi, I32),
+                                      shape, qs, idx))
+    # ---- 1-region race
+    best1 = None
+    zero = jnp.zeros((n,), I32)
+    for prec, group in groups1.items():
+        err, qs, idx = _eval_prec_one(h_pts, prec, e0_1r, e1_1r, signed)
+        for mi, m in group:
+            err_m = _gate_mode(m, qs, err)
+            best1 = merge(best1, (err_m, jnp.full((n,), mi, I32), zero,
+                                  qs, idx))
+
+    # ---- winner-only shake (the reference shakes only its sorted-best
+    # pattern): per-block precision comes from the winning mode
+    if shake and best2 is not None:
+        best2 = _shake_best(h_pts, best2, two_modes, signed, shake,
+                            regions=2, ptab_j=ptab_j)
+    if shake and best1 is not None:
+        best1 = _shake_best(h_pts, best1, one_modes, signed, shake,
+                            regions=1, ptab_j=ptab_j)
+
+    cands = [b for b in (best2, best1) if b is not None]
+    best = cands[0]
+    for c in cands[1:]:
+        best = merge(best, c)
+    best_err, best_mode, best_shape, best_q, best_idx = best
     words = _pack(best_mode, best_shape, best_q, best_idx, signed)
     return words, best_err
 

@@ -92,14 +92,28 @@ def _finish_signed_dec(v):
     return jnp.where(v < 0, -mag, mag)
 
 
+def _unquantize_dyn(q, prec_rows, signed, precs):
+    """Unquantize with per-lane precision (select over the static set)."""
+    out = None
+    for p in precs:
+        u = _unquantize(q, p, signed)
+        out = u if out is None else jnp.where(prec_rows == p, u, out)
+    return out
+
+
 def _palette_err(h, mask_rows, q0, q1, prec, signed, wtab):
-    """Exact decode-path palette eval.
+    """Exact decode-path palette eval (static precision).
 
     h: 3x(16,T) int32 half-int targets; q0/q1: 3-tuples (1,T) int32.
     Returns idx (16,T), err (1,T) f32.
     """
     u0 = [_unquantize(q, prec, signed) for q in q0]
     u1 = [_unquantize(q, prec, signed) for q in q1]
+    return _palette_err_u(h, mask_rows, u0, u1, signed, wtab)
+
+
+def _palette_err_u(h, mask_rows, u0, u1, signed, wtab):
+    """Exact decode-path palette eval from unquantized endpoint rows."""
     best = None
     idx = None
     for k, wk in enumerate(wtab):
@@ -247,17 +261,25 @@ _SHAKE_DELTAS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
                  (1, -1), (1, 0), (1, 1))
 
 
-def _shake_q_rows(h, mask, q0, q1, prec: int, signed: bool, wtab, idx,
-                  rounds: int):
+def _shake_q_rows(h, mask, q0, q1, prec_rows, signed: bool, wtab, idx,
+                  rounds: int, precs):
     """Quantized-space endpoint shaker on lane rows (kernels/bc6h.py
     _shake_q analog; ep_shaker_HD semantics, amd_hdr_encode.cpp:2280+).
+    Runs on the race winner only, so precision is per-lane data
+    (``prec_rows`` (1,T) selecting from the static ``precs``).
 
     h: 3x(16,T) half-int targets; mask (16,T); q0/q1 3-lists of (1,T)
-    prec-bit codes; idx (16,T). Returns (err, q0, q1, idx)."""
+    codes; idx (16,T). Returns (err, q0, q1, idx)."""
     if signed:
-        qlo, qhi = -((1 << (prec - 1)) - 1), (1 << (prec - 1)) - 1
+        qlo = _sel_by_id(prec_rows,
+                         [-((1 << (p - 1)) - 1) if p in precs else 0
+                          for p in range(32)])
+        qhi = -qlo
     else:
-        qlo, qhi = 0, (1 << prec) - 1
+        qlo = jnp.zeros_like(prec_rows)
+        qhi = _sel_by_id(prec_rows, [(1 << p) - 1 if p in precs else 0
+                                     for p in range(32)])
+    err = None
     for _ in range(rounds):
         wk = jnp.zeros_like(idx)
         for k, wv in enumerate(wtab):
@@ -267,8 +289,8 @@ def _shake_q_rows(h, mask, q0, q1, prec: int, signed: bool, wtab, idx,
             q0c, q1c = q0[c], q1[c]
 
             def ch_err(a, b, wk=wk, c=c):
-                u0 = _unquantize(a, prec, signed)
-                u1 = _unquantize(b, prec, signed)
+                u0 = _unquantize_dyn(a, prec_rows, signed, precs)
+                u1 = _unquantize_dyn(b, prec_rows, signed, precs)
                 v = (u0 * (64 - wk) + u1 * wk + 32) >> 6
                 dec = _finish_signed_dec(v) if signed else (v * 31) >> 6
                 diff = h[c].astype(F32) - dec.astype(F32)
@@ -286,7 +308,9 @@ def _shake_q_rows(h, mask, q0, q1, prec: int, signed: bool, wtab, idx,
                 b1 = jnp.where(take, nq1, b1)
             q0 = q0[:c] + [b0] + q0[c + 1:]
             q1 = q1[:c] + [b1] + q1[c + 1:]
-        nidx, err = _palette_err(h, mask, q0, q1, prec, signed, wtab)
+        u0 = [_unquantize_dyn(q, prec_rows, signed, precs) for q in q0]
+        u1 = [_unquantize_dyn(q, prec_rows, signed, precs) for q in q1]
+        nidx, err = _palette_err_u(h, mask, u0, u1, signed, wtab)
         idx = jnp.where(mask > 0, nidx, idx)
     return err, q0, q1, idx
 
@@ -371,6 +395,81 @@ def _pack_mode(m, shape, anchor, q, idx):
 
 
 # ---------------------------------------------------------------- kernel ---
+def _gate2_rows(m, qs, err):
+    """Delta gate for a 2-region mode on swapped endpoint rows."""
+    if not m.transformed:
+        return err
+    ok = None
+    for j in (1, 2, 3):
+        d = [qs[j][c] - qs[0][c] for c in range(3)]
+        o = _delta_ok3(d, m.delta_bits)
+        ok = o if ok is None else ok & o
+    return jnp.where(ok, err, jnp.float32(3.4e38))
+
+
+def _swap1(idx, q0, q1):
+    """Anchor-pixel-0 swap for a 1-region candidate."""
+    need = (idx[0:1] & 8) != 0
+    idx = jnp.where(need, 15 - idx, idx)
+    q0n = [jnp.where(need, b, a) for a, b in zip(q0, q1)]
+    q1n = [jnp.where(need, a, b) for a, b in zip(q0, q1)]
+    return idx, [q0n, q1n, q0n, q1n]
+
+
+def _shake_best_rows(h, best, modes, signed, rounds, regions):
+    """Shake the race winner (kernels/bc6h.py _shake_best analog): the
+    winning mode is lane data, so precision is dynamic; re-swap + re-gate
+    afterwards with fallback to the unshaken candidate."""
+    prec_tab = [0] * len(BC6H_MODES)
+    for mi, m in modes:
+        prec_tab[mi] = m.base_bits
+    prec_rows = _sel_by_id(best["mi"], prec_tab)
+    precs = tuple(sorted({m.base_bits for _, m in modes}))
+    if regions == 2:
+        bits_sel = _sel_by_id(best["shape"], list(P2[:32]))
+        sub_rows0 = [((bits_sel >> p) & 1) == 0 for p in range(16)]
+        m0 = [r.astype(F32) for r in sub_rows0]
+        m0cat = jnp.concatenate(m0, axis=0)
+        m1cat = 1.0 - m0cat
+        in0 = jnp.concatenate([r.astype(I32) for r in sub_rows0], axis=0)
+        err0, q0, q1, idx0 = _shake_q_rows(
+            h, m0cat, best["q"][0], best["q"][1], prec_rows, signed,
+            WEIGHTS3, best["idx"], rounds, precs)
+        err1, q2, q3, idx1 = _shake_q_rows(
+            h, m1cat, best["q"][2], best["q"][3], prec_rows, signed,
+            WEIGHTS3, best["idx"], rounds, precs)
+        err_sh = err0 + err1
+        idx_sh = jnp.where(in0 > 0, idx0, idx1)
+        idx_sw, qs_sw = _swap2(idx_sh, sub_rows0, best["anchor"],
+                               [q0, q1, q2, q3], 3)
+        err_g = err_sh
+        for mi, m in modes:
+            if m.transformed:
+                err_g = jnp.where(best["mi"] == mi,
+                                  _gate2_rows(m, qs_sw, err_sh), err_g)
+    else:
+        ones_cat = jnp.ones_like(h[0]).astype(F32)
+        err_sh, q0, q1, idx_sh = _shake_q_rows(
+            h, ones_cat, best["q"][0], best["q"][1], prec_rows, signed,
+            WEIGHTS4, best["idx"], rounds, precs)
+        idx_sw, qs_sw = _swap1(idx_sh, q0, q1)
+        err_g = err_sh
+        for mi, m in modes:
+            if m.transformed:
+                d = [qs_sw[1][c] - qs_sw[0][c] for c in range(3)]
+                ok = _delta_ok3(d, m.delta_bits)
+                err_g = jnp.where(best["mi"] == mi,
+                                  jnp.where(ok, err_sh,
+                                            jnp.float32(3.4e38)), err_g)
+    take = err_g < best["err"]
+    out = dict(best)
+    out["err"] = jnp.where(take, err_g, best["err"])
+    out["idx"] = jnp.where(take, idx_sw, best["idx"])
+    out["q"] = [[jnp.where(take, a, b) for a, b in zip(qn, qo)]
+                for qn, qo in zip(qs_sw, best["q"])]
+    return out
+
+
 def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
                  iters, shake, mode_mask):
     h = [h_ref[16 * c:16 * (c + 1), :] for c in range(3)]
@@ -379,8 +478,19 @@ def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
     ests = _estimate_shapes(us)
     shape_ids = _topk_ids(ests, topk)
 
-    best = None
-    # ---- 2-region candidates
+    two_modes = [(mi, m) for mi, m in enumerate(BC6H_MODES)
+                 if m.regions == 2 and (mode_mask >> (m.mode - 1)) & 1]
+    one_modes = [(mi, m) for mi, m in enumerate(BC6H_MODES)
+                 if m.regions == 1 and (mode_mask >> (m.mode - 1)) & 1]
+    groups2, groups1 = {}, {}
+    for mi, m in two_modes:
+        groups2.setdefault(m.base_bits, []).append((mi, m))
+    for mi, m in one_modes:
+        groups1.setdefault(m.base_bits, []).append((mi, m))
+
+    # ---- 2-region race, grouped by precision (the decode palette depends
+    # only on (prec, signed)); shake runs winner-only afterwards
+    best2 = None
     for sid in shape_ids:
         bits_sel = _sel_by_id(sid, list(P2[:32]))
         sub_rows0 = [((bits_sel >> p) & 1) == 0 for p in range(16)]
@@ -389,69 +499,51 @@ def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
         m1 = [(1.0 - r) for r in m0]
         e00, e01 = _fit_masked(us, m0, LV3, iters)
         e10, e11 = _fit_masked(us, m1, LV3, iters)
-        for mi, m in enumerate(BC6H_MODES):
-            if m.regions != 2 or not (mode_mask >> (m.mode - 1)) & 1:
-                continue
-            prec = m.base_bits
+        m0cat = jnp.concatenate(m0, axis=0)
+        m1cat = jnp.concatenate(m1, axis=0)
+        in0 = jnp.concatenate([r.astype(I32) for r in sub_rows0], axis=0)
+        for prec, group in groups2.items():
             q = [[_quantize(e[c], prec, signed) for c in range(3)]
                  for e in (e00, e01, e10, e11)]
-            m0cat = jnp.concatenate(m0, axis=0)
-            m1cat = jnp.concatenate(m1, axis=0)
             idx0, err0 = _palette_err(h, m0cat, q[0], q[1], prec, signed,
                                       WEIGHTS3)
             idx1, err1 = _palette_err(h, m1cat, q[2], q[3], prec, signed,
                                       WEIGHTS3)
-            if shake:
-                err0, qw0, qw1, idx0 = _shake_q_rows(
-                    h, m0cat, q[0], q[1], prec, signed, WEIGHTS3, idx0,
-                    shake)
-                err1, qw2, qw3, idx1 = _shake_q_rows(
-                    h, m1cat, q[2], q[3], prec, signed, WEIGHTS3, idx1,
-                    shake)
-                q = [qw0, qw1, qw2, qw3]
             err = err0 + err1
-            in0 = jnp.concatenate([r.astype(I32) for r in sub_rows0], axis=0)
             idx = jnp.where(in0 > 0, idx0, idx1)
-            idx, qs = _swap2(idx, sub_rows0, anchor, q, 3)
-            if m.transformed:
-                ok = None
-                for j in (1, 2, 3):
-                    d = [qs[j][c] - qs[0][c] for c in range(3)]
-                    o = _delta_ok3(d, m.delta_bits)
-                    ok = o if ok is None else ok & o
-                err = jnp.where(ok, err, jnp.float32(3.4e38))
-            cand = dict(err=err, mi=jnp.zeros_like(err, I32) + mi,
-                        shape=sid, anchor=anchor, q=qs, idx=idx)
-            best = _merge(best, cand)
+            idx_sw, qs = _swap2(idx, sub_rows0, anchor, q, 3)
+            for mi, m in group:
+                cand = dict(err=_gate2_rows(m, qs, err),
+                            mi=jnp.zeros_like(err, I32) + mi,
+                            shape=sid, anchor=anchor, q=qs, idx=idx_sw)
+                best2 = _merge(best2, cand)
+    if shake and best2 is not None:
+        best2 = _shake_best_rows(h, best2, two_modes, signed, shake, 2)
 
-    # ---- 1-region candidates
+    # ---- 1-region race
+    best1 = None
     ones = [jnp.ones_like(us[0][0:1]) for _ in range(16)]
     e0, e1 = _fit_masked(us, ones, LV4, iters)
     zero = jnp.zeros_like(us[0][0:1], I32)
-    for mi, m in enumerate(BC6H_MODES):
-        if m.regions != 1 or not (mode_mask >> (m.mode - 1)) & 1:
-            continue
-        prec = m.base_bits
+    for prec, group in groups1.items():
         q0 = [_quantize(e0[c], prec, signed) for c in range(3)]
         q1 = [_quantize(e1[c], prec, signed) for c in range(3)]
         idx, err = _palette_err(h, None, q0, q1, prec, signed, WEIGHTS4)
-        if shake:
-            ones_cat = jnp.concatenate(ones, axis=0)
-            err, q0, q1, idx = _shake_q_rows(
-                h, ones_cat, q0, q1, prec, signed, WEIGHTS4, idx, shake)
-        # anchor pixel 0 swap
-        need = (idx[0:1] & 8) != 0
-        idx = jnp.where(need, 15 - idx, idx)
-        q0n = [jnp.where(need, b, a) for a, b in zip(q0, q1)]
-        q1n = [jnp.where(need, a, b) for a, b in zip(q0, q1)]
-        qs = [q0n, q1n, q0n, q1n]
-        if m.transformed:
-            d = [q1n[c] - q0n[c] for c in range(3)]
-            ok = _delta_ok3(d, m.delta_bits)
-            err = jnp.where(ok, err, jnp.float32(3.4e38))
-        cand = dict(err=err, mi=jnp.zeros_like(err, I32) + mi,
-                    shape=zero, anchor=zero, q=qs, idx=idx)
-        best = _merge(best, cand)
+        idx_sw, qs = _swap1(idx, q0, q1)
+        for mi, m in group:
+            if m.transformed:
+                d = [qs[1][c] - qs[0][c] for c in range(3)]
+                ok = _delta_ok3(d, m.delta_bits)
+                err_m = jnp.where(ok, err, jnp.float32(3.4e38))
+            else:
+                err_m = err
+            cand = dict(err=err_m, mi=jnp.zeros_like(err, I32) + mi,
+                        shape=zero, anchor=zero, q=qs, idx=idx_sw)
+            best1 = _merge(best1, cand)
+    if shake and best1 is not None:
+        best1 = _shake_best_rows(h, best1, one_modes, signed, shake, 1)
+
+    best = _merge(best2, best1) if best1 is not None else best2
 
     # ---- pack the winner (lane-select over modes)
     z = jnp.zeros_like(best["err"], U32)

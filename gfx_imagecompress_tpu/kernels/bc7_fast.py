@@ -39,7 +39,8 @@ import numpy as np
 from ..tables.bc7_tables import (BC7_MODES, WEIGHTS3, WEIGHTS4,
                                  partition_table)
 from .bc7_common import _expand, pack_single, palette, quantize_pbit
-from .common import assign_nearest, fit_line_iterative, lsq_refit, masked_mean
+from .common import (assign_projection, fit_line_iterative, lsq_refit,
+                     masked_mean)
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -121,19 +122,43 @@ def _sel_variants(base, mn, mx, max_sel: int, uber: int):
 
 # --------------------------------------------------------------- mode 6 ---
 
-def _quant6(pts_m, mask, e0, e1, mw, perceptual):
-    """Mode-6 quantization: 7-bit + per-endpoint pbit, all 4 combos."""
+def _pbit_analytic(e, bits: int):
+    """Per-endpoint analytic p-bit choice (richgel:606-671): quantize the
+    saturated endpoint under each p and keep the one with the lower
+    unweighted rounding error in 0..255 space — the reference never races
+    p-bits against the full palette. e (N,C) -> (q, deq (N,C), p (N,))."""
+    e = jnp.clip(e, 0.0, 255.0)
     best = None
-    for p0 in (0, 1):
-        for p1 in (0, 1):
-            q0, d0 = quantize_pbit(e0, 7, p0)
-            q1, d1 = quantize_pbit(e1, 7, p1)
-            pal = _to_metric(palette(d0, d1, 4), perceptual)
-            idx, err = assign_nearest(pts_m, pal, mw, mask)
-            n = err.shape[0]
-            best = _merge((err, q0, q1, jnp.full((n,), p0, I32),
-                           jnp.full((n,), p1, I32), idx), best)
-    return best
+    for p in (0, 1):
+        q, d = quantize_pbit(e, bits, p)
+        err = jnp.sum((d.astype(F32) - e) ** 2, axis=-1)
+        best = _merge((err, q, d, jnp.full(err.shape, p, I32)), best)
+    return best[1], best[2], best[3]
+
+
+def _pbit_analytic_shared(e0, e1, bits: int):
+    """Shared-p-bit analog of :func:`_pbit_analytic` (richgel:676-708)."""
+    e0 = jnp.clip(e0, 0.0, 255.0)
+    e1 = jnp.clip(e1, 0.0, 255.0)
+    best = None
+    for p in (0, 1):
+        q0, d0 = quantize_pbit(e0, bits, p)
+        q1, d1 = quantize_pbit(e1, bits, p)
+        err = (jnp.sum((d0.astype(F32) - e0) ** 2, axis=-1)
+               + jnp.sum((d1.astype(F32) - e1) ** 2, axis=-1))
+        best = _merge((err, q0, d0, q1, d1, jnp.full(err.shape, p, I32)),
+                      best)
+    return best[1], best[2], best[3], best[4], best[5]
+
+
+def _quant6(pts_m, mask, e0, e1, mw, perceptual):
+    """Mode-6 quantization: 7-bit + analytically chosen per-endpoint pbits,
+    one exact-palette evaluation (find_optimal_solution structure)."""
+    q0, d0, p0 = _pbit_analytic(e0, 7)
+    q1, d1, p1 = _pbit_analytic(e1, 7)
+    pal = _to_metric(palette(d0, d1, 4), perceptual)
+    idx, err = assign_projection(pts_m, pal, LEVELS4, mw, mask)
+    return (err, q0, q1, p0, p1, idx)
 
 
 def encode_mode6(pts, perceptual: bool, uber: int):
@@ -208,21 +233,17 @@ def _mode1_solid_candidate(rgb, rgb_m, m, mw, perceptual):
     d0 = _expand((q0 << 1) | pb[:, None], 7)
     d1 = _expand((q1 << 1) | pb[:, None], 7)
     pal = _to_metric(palette(d0, d1, 3), perceptual)
-    idx, err = assign_nearest(rgb_m, pal, mw, m)
+    idx, err = assign_projection(rgb_m, pal, LEVELS3, mw, m)
     return err, q0, q1, pb, idx
 
 
 def _quant1_subset(rgb_m, m, e0, e1, mw, perceptual):
-    """6-bit + shared-pbit race for one mode-1 subset."""
-    n = rgb_m.shape[0]
-    best = None
-    for p in (0, 1):
-        q0, d0 = quantize_pbit(e0, 6, p)
-        q1, d1 = quantize_pbit(e1, 6, p)
-        pal = _to_metric(palette(d0, d1, 3), perceptual)
-        idx, err = assign_nearest(rgb_m, pal, mw, m)
-        best = _merge((err, q0, q1, jnp.full((n,), p, I32), idx), best)
-    return best
+    """6-bit + analytically chosen shared p-bit for one mode-1 subset, one
+    exact-palette evaluation (richgel:676-708)."""
+    q0, d0, q1, d1, p = _pbit_analytic_shared(e0, e1, 6)
+    pal = _to_metric(palette(d0, d1, 3), perceptual)
+    idx, err = assign_projection(rgb_m, pal, LEVELS3, mw, m)
+    return (err, q0, q1, p, idx)
 
 
 def _estimate_partitions(rgb, plist):

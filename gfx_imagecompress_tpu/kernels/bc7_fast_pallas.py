@@ -173,21 +173,38 @@ def _fit_line4(xs, iters):
     return e0, e1
 
 
+def _midpoints(levels):
+    return tuple((levels[j] + levels[j + 1]) * 0.5
+                 for j in range(len(levels) - 1))
+
+
+def _proj_quantize(xs, e0, e1, levels, mw=None):
+    """Quantized 1-D projection of pixel rows onto the segment e0->e1.
+
+    The palette entries lie (near-)exactly on the segment, so the
+    weighted-L2 argmin over K entries reduces to quantizing the projection
+    parameter t against the K-1 static level midpoints — O(K) lane
+    compares instead of K full distance evaluations (the same reduction as
+    kernels/common.py:assign_levels). Returns idx (16,T) int32.
+    """
+    chans = len(xs)
+    w = mw if mw is not None else (1.0,) * chans
+    dirv = [(e1[c] - e0[c]) * w[c] for c in range(chans)]
+    l2 = sum(d * (e1[c] - e0[c]) for c, d in enumerate(dirv))
+    inv = jnp.where(l2 > _EPS, 1.0 / jnp.maximum(l2, _EPS), 0.0)
+    t = sum((xs[c] - e0[c]) * dirv[c] for c in range(chans)) * inv
+    idx = jnp.zeros_like(t, I32)
+    for m in _midpoints(levels):
+        idx = idx + (t > m)
+    return idx
+
+
 def _assign_float(xs, e0, e1, levels, mask=None):
-    best = None
-    alpha = None
-    for l in levels:
-        d = jnp.zeros_like(xs[0])
-        for c in range(len(xs)):
-            p = e0[c] + l * (e1[c] - e0[c])
-            diff = xs[c] - p
-            d = d + diff * diff
-        if best is None:
-            best, alpha = d, jnp.zeros_like(d) + l
-        else:
-            take = d < best
-            best = jnp.where(take, d, best)
-            alpha = jnp.where(take, l, alpha)
+    idx = _proj_quantize(xs, e0, e1, levels)
+    alpha = jnp.zeros_like(xs[0])
+    for k, l in enumerate(levels):
+        if k:
+            alpha = jnp.where(idx == k, l, alpha)
     return alpha
 
 
@@ -213,31 +230,36 @@ def _lsq_multi(xs, alpha, mask, e0, e1):
 
 
 def _assign_exact(ms, d0, d1, wtab, perceptual, mask=None):
-    """Exact palette assign in metric space.
+    """Palette assign in metric space: projection index, exact error.
 
     ms: metric-space pixel rows; d0/d1 dequantized int endpoints per RGB(A)
-    channel. Returns idx (16,T) int32, err (1,T) f32 (masked sum).
+    channel. The index comes from the quantized 1-D projection (the decoder
+    palette is collinear up to <=0.5 LSB rounding); the error is the exact
+    distance to the SELECTED decoder entry (select chain), so reported err
+    stays the true decoded SSE. Returns idx (16,T) int32, err (1,T) f32
+    (masked sum).
     """
     chans = len(d0)
     mw = _metric_w(perceptual, chans)
-    best = None
-    idx = None
-    for k, wk in enumerate(wtab):
-        pal = [_lerp64(d0[c], d1[c], wk).astype(F32) for c in range(chans)]
-        pal = _to_metric_rows(pal, perceptual)
-        d = jnp.zeros_like(ms[0])
+    levels = tuple(w / float(wtab[-1]) for w in wtab)
+    pals = []
+    for wk in wtab:
+        p = [_lerp64(d0[c], d1[c], wk).astype(F32) for c in range(chans)]
+        pals.append(_to_metric_rows(p, perceptual))
+    idx = _proj_quantize(ms, pals[0], pals[-1], levels, mw)
+    sel = list(pals[0])
+    for k in range(1, len(wtab)):
         for c in range(chans):
-            diff = ms[c] - pal[c]
-            d = d + mw[c] * diff * diff
-        if best is None:
-            best, idx = d, jnp.zeros_like(d, I32)
-        else:
-            take = d < best
-            best = jnp.where(take, d, best)
-            idx = jnp.where(take, k, idx)
-    if mask is not None:
-        best = best * mask
-    return idx, jnp.sum(best, axis=0, keepdims=True)
+            sel[c] = jnp.where(idx == k, pals[k][c], sel[c])
+    d = jnp.zeros_like(ms[0])
+    for c in range(chans):
+        diff = ms[c] - sel[c]
+        d = d + mw[c] * diff * diff
+    if mask is None:
+        return idx, jnp.sum(d, axis=0, keepdims=True)
+    if isinstance(mask, str):              # "rows": per-pixel dist rows
+        return idx, d
+    return idx, jnp.sum(d * mask, axis=0, keepdims=True)
 
 
 def _quant_pbit(e, bits, p):
@@ -261,23 +283,71 @@ def _merge6(cand, state):
             for k in state}
 
 
+def _pbit_rows(es, bits):
+    """Analytic per-endpoint p-bit on lane rows (richgel:606-671): pick the
+    p with the lower endpoint rounding error — no full-palette race.
+
+    es: chans x (1,T) float rows -> (qs, ds, p) with p (1,T) int32.
+    """
+    es = [jnp.clip(e, 0.0, 255.0) for e in es]
+    best = None
+    for p in (0, 1):
+        qs, ds = [], []
+        err = jnp.zeros_like(es[0])
+        for e in es:
+            q, d = _quant_pbit(e, bits, p)
+            qs.append(q)
+            ds.append(d)
+            err = err + (d.astype(F32) - e) ** 2
+        if best is None:
+            best = (err, qs, ds, jnp.zeros_like(es[0], I32) + p)
+        else:
+            take = err < best[0]
+            best = (jnp.where(take, err, best[0]),
+                    [jnp.where(take, a, b) for a, b in zip(qs, best[1])],
+                    [jnp.where(take, a, b) for a, b in zip(ds, best[2])],
+                    jnp.where(take, p, best[3]))
+    return best[1], best[2], best[3]
+
+
+def _pbit_rows_shared(e0s, e1s, bits):
+    """Shared p-bit analog of :func:`_pbit_rows` (richgel:676-708)."""
+    e0s = [jnp.clip(e, 0.0, 255.0) for e in e0s]
+    e1s = [jnp.clip(e, 0.0, 255.0) for e in e1s]
+    best = None
+    for p in (0, 1):
+        q0s, d0s, q1s, d1s = [], [], [], []
+        err = jnp.zeros_like(e0s[0])
+        for e0, e1 in zip(e0s, e1s):
+            q0, d0 = _quant_pbit(e0, bits, p)
+            q1, d1 = _quant_pbit(e1, bits, p)
+            q0s.append(q0)
+            d0s.append(d0)
+            q1s.append(q1)
+            d1s.append(d1)
+            err = (err + (d0.astype(F32) - e0) ** 2
+                   + (d1.astype(F32) - e1) ** 2)
+        if best is None:
+            best = (err, q0s, d0s, q1s, d1s, jnp.zeros_like(err, I32) + p)
+        else:
+            take = err < best[0]
+            best = (jnp.where(take, err, best[0]),
+                    [jnp.where(take, a, b) for a, b in zip(q0s, best[1])],
+                    [jnp.where(take, a, b) for a, b in zip(d0s, best[2])],
+                    [jnp.where(take, a, b) for a, b in zip(q1s, best[3])],
+                    [jnp.where(take, a, b) for a, b in zip(d1s, best[4])],
+                    jnp.where(take, p, best[5]))
+    return best[1], best[2], best[3], best[4], best[5]
+
+
 def _quant6_race(xs, ms, e0, e1, perceptual, state):
-    for p0 in (0, 1):
-        for p1 in (0, 1):
-            q0s, d0s, q1s, d1s = [], [], [], []
-            for c in range(4):
-                q0, d0 = _quant_pbit(e0[c], 7, p0)
-                q1, d1 = _quant_pbit(e1[c], 7, p1)
-                q0s.append(q0)
-                d0s.append(d0)
-                q1s.append(q1)
-                d1s.append(d1)
-            idx, err = _assign_exact(ms, d0s, d1s, WEIGHTS4, perceptual)
-            cand = dict(err=err, q0=q0s, q1=q1s, idx=idx,
-                        p0=jnp.zeros_like(err, I32) + p0,
-                        p1=jnp.zeros_like(err, I32) + p1)
-            state = _merge6(cand, state)
-    return state
+    """Mode-6 quantization: analytic per-endpoint p-bits + one exact
+    assign (find_optimal_solution structure; mirrors bc7_fast._quant6)."""
+    q0s, d0s, p0 = _pbit_rows(e0, 7)
+    q1s, d1s, p1 = _pbit_rows(e1, 7)
+    idx, err = _assign_exact(ms, d0s, d1s, WEIGHTS4, perceptual)
+    cand = dict(err=err, q0=q0s, q1=q1s, idx=idx, p0=p0, p1=p1)
+    return _merge6(cand, state)
 
 
 def _mode6(xs, ms, perceptual, uber):
@@ -434,27 +504,18 @@ def _fit_line3_masked(xs3, mask_rows, iters):
 
 
 def _quant1_subset(ms3, m, e0, e1, perceptual, sbest=None):
-    """6-bit + shared-pbit race for one mode-1 subset (lane layout)."""
-    for pb in (0, 1):
-        q0s, d0s, q1s, d1s = [], [], [], []
-        for c in range(3):
-            q0, d0 = _quant_pbit(e0[c], 6, pb)
-            q1, d1 = _quant_pbit(e1[c], 6, pb)
-            q0s.append(q0)
-            d0s.append(d0)
-            q1s.append(q1)
-            d1s.append(d1)
-        idx, err = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual, mask=m)
-        cand = (err, q0s, q1s, jnp.zeros_like(err, I32) + pb, idx)
-        if sbest is None:
-            sbest = cand
-        else:
-            take = cand[0] < sbest[0]
-            sbest = tuple(
-                ([jnp.where(take, a, b) for a, b in zip(cn, bs)]
-                 if isinstance(cn, list) else jnp.where(take, cn, bs))
-                for cn, bs in zip(cand, sbest))
-    return sbest
+    """6-bit + analytically chosen shared p-bit for one mode-1 subset, one
+    exact-palette evaluation (richgel:676-708; mirrors bc7_fast)."""
+    q0s, d0s, q1s, d1s, pb = _pbit_rows_shared(e0, e1, 6)
+    idx, err = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual, mask=m)
+    cand = (err, q0s, q1s, pb, idx)
+    if sbest is None:
+        return cand
+    take = cand[0] < sbest[0]
+    return tuple(
+        ([jnp.where(take, a, b) for a, b in zip(cn, bs)]
+         if isinstance(cn, list) else jnp.where(take, cn, bs))
+        for cn, bs in zip(cand, sbest))
 
 
 def _mode1(xs3, ms3, perceptual, plist, topk, uber, solid_rows):
@@ -526,9 +587,10 @@ def _solid_candidate(ms3, perceptual, solid_rows):
     zero = jnp.zeros_like(pb)
     sub_rows = [((P2[0] >> p) & 1) + zero for p in range(16)]
     m0 = jnp.concatenate([(r == 0).astype(F32) for r in sub_rows], axis=0)
-    idx, err0 = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual, mask=m0)
-    _, err1 = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual,
-                            mask=1.0 - m0)
+    idx, dist = _assign_exact(ms3, d0s, d1s, WEIGHTS3, perceptual,
+                              mask="rows")
+    err0 = jnp.sum(dist * m0, axis=0, keepdims=True)
+    err1 = jnp.sum(dist * (1.0 - m0), axis=0, keepdims=True)
     return dict(err=err0 + err1, errs=[err0, err1], pid=zero,
                 q=[(q0s, q1s, pb), (q0s, q1s, pb)], idx=idx, sub=sub_rows)
 

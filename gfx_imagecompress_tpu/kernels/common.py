@@ -79,6 +79,75 @@ def assign_nearest(pts: jnp.ndarray, palette: jnp.ndarray,
     return idx, err
 
 
+def _midpoints(levels):
+    return tuple((levels[j] + levels[j + 1]) * 0.5
+                 for j in range(len(levels) - 1))
+
+
+def project_t(pts, e0, e1, chan_weights, eps=1e-10):
+    """Normalized line parameter t of each point onto segment e0->e1.
+
+    pts (...,P,C), e0/e1 (...,C) -> t (...,P) with t=0 for degenerate
+    segments. Metric is the diagonal ``chan_weights``.
+    """
+    dirv = (e1 - e0) * chan_weights
+    l2 = jnp.sum(dirv * (e1 - e0), axis=-1, keepdims=True)      # (...,1)
+    inv = jnp.where(l2 > eps, 1.0 / jnp.maximum(l2, eps), 0.0)
+    return jnp.einsum("...pc,...c->...p", pts - e0[..., None, :],
+                      dirv) * inv
+
+
+def assign_levels(pts, e0, e1, levels, chan_weights, mask=None):
+    """Exact nearest-level assignment on a collinear float palette.
+
+    The palette ``e0 + levels[k] * (e1 - e0)`` lies exactly on a line, so
+    the weighted-L2 argmin reduces to quantizing the 1-D projection t
+    against the static midpoints between consecutive levels — O(K)
+    compares instead of an (N,P,K,C) distance tensor. Returns
+    (idx (...,P) int32, alphas (...,P), err (...,) masked total).
+    """
+    t = project_t(pts, e0, e1, chan_weights)
+    idx = jnp.zeros(t.shape, jnp.int32)
+    for m in _midpoints(levels):
+        idx = idx + (t > m)
+    lv = jnp.asarray(levels, F32)
+    alphas = lv[idx]
+    # exact residual: off-axis part + on-axis quantization
+    d = pts - (e0[..., None, :]
+               + alphas[..., None] * (e1 - e0)[..., None, :])
+    dist = jnp.einsum("...pc,c->...p", d * d, chan_weights)
+    if mask is None:
+        err = jnp.sum(dist, axis=-1)
+    else:
+        err = jnp.sum(dist * mask, axis=-1)
+    return idx, alphas, err
+
+
+def assign_projection(pts, pal, levels, chan_weights, mask):
+    """Projection-argmin on a near-collinear integer palette, exact error.
+
+    pal (...,K,C) holds the EXACT (decoder-rounded) palette entries whose
+    ideal positions are ``levels`` (static, ascending). The index is chosen
+    by quantizing the projection onto the pal[0]->pal[K-1] axis (exact when
+    entries are collinear; decoder rounding perturbs entries by <=0.5 LSB,
+    so near-tie pixels may differ from a full race by an error <=~1 LSB^2).
+    The returned error is computed against the exact selected entry.
+
+    Returns idx (...,P) int32, err (...,) masked total.
+    """
+    e0 = pal[..., 0, :]
+    e1 = pal[..., -1, :]
+    t = project_t(pts, e0, e1, chan_weights)
+    idx = jnp.zeros(t.shape, jnp.int32)
+    for m in _midpoints(levels):
+        idx = idx + (t > m)
+    sel = jnp.take_along_axis(pal, idx[..., None], axis=-2)  # (...,P,C)
+    d = pts - sel
+    dist = jnp.einsum("...pc,c->...p", d * d, chan_weights)
+    err = jnp.sum(dist * mask, axis=-1)
+    return idx, err
+
+
 def lsq_refit(pts: jnp.ndarray, mask: jnp.ndarray, alphas: jnp.ndarray,
               e0: jnp.ndarray, e1: jnp.ndarray):
     """Least-squares endpoints from per-pixel interpolation weights.
@@ -112,14 +181,11 @@ def fit_line_iterative(pts, mask, levels, iters: int, chan_weights):
     (e.g. [0, 1/3, 2/3, 1] for BC1 4-colour). Returns float endpoints
     (e0, e1) each (..., C).
     """
-    levels = jnp.asarray(levels, F32)
     mean, axis = principal_axis(pts, mask)
     _, tmin, tmax = project_extents(pts, mask, mean, axis)
     e0 = mean + tmin * axis
     e1 = mean + tmax * axis
     for _ in range(iters):
-        palette = e0[..., None, :] + levels[:, None] * (e1 - e0)[..., None, :]
-        idx, _ = assign_nearest(pts, palette, chan_weights, mask)
-        alphas = levels[idx]
+        _, alphas, _ = assign_levels(pts, e0, e1, levels, chan_weights, mask)
         e0, e1 = lsq_refit(pts, mask, alphas, e0, e1)
     return e0, e1

@@ -7,8 +7,11 @@ import os
 
 # Force CPU even when the session env points JAX at the TPU tunnel
 # (JAX_PLATFORMS=axon): unit tests must be hermetic and run the sharding
-# path on 8 virtual CPU devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# path on 8 virtual CPU devices. The tunnel's sitecustomize imports jax at
+# interpreter start, so env vars are read before this file runs — the
+# platform override must go through jax.config (still honoured because no
+# backend has been *initialized* yet), while XLA_FLAGS is read lazily at
+# CPU-client creation and can still be set here.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent on-disk compilation cache: the suite's cost is almost entirely
 # XLA-CPU compiles of interpret-mode Pallas search graphs (~73 min serial,
