@@ -51,7 +51,7 @@ def compress_amd_bc1(src: Image,
     words, _ = encode_bc1_blocks_pallas(
         blocks, weights=PERCEPTUAL_WEIGHTS,
         iters=2 + amd.refinement_steps,
-        passes=2 if amd.b3d_refinement else 1,
+        b3d=amd.b3d_refinement,
         use_alpha=use_alpha,
         alpha_threshold=float(opt.alpha_threshold) / 255.0,
         adaptive=amd.adaptive_colour_weights)
@@ -63,13 +63,16 @@ def compress_amd_bc1(src: Image,
 def compress_amd_bc2(src: Image,
                      amd_options: Optional[AMDBackendOptions] = None
                      ) -> CompressedImage:
-    """Image_CompressAMDBC2 analog: explicit 4-bit alpha + RGB block
-    (amd_bc2_compressor.cpp:41-46)."""
+    """Image_CompressAMDBC2 analog: explicit 4-bit alpha + RGB block in one
+    fused launch (amd_bc2_compressor.cpp:41-46)."""
+    from .kernels.bc1_pallas import encode_bc2_blocks_pallas
     amd = amd_options or AMDBackendOptions()
     blocks = image_to_blocks(src.data)
-    cw, _ = _rgb_colour_words(blocks, amd)
-    aw, _ = _bc4.encode_bc2_alpha_blocks(_alpha_channel(blocks))
-    words = jnp.concatenate([aw, cw], axis=1)  # alpha block first (64+64 bit)
+    words, _ = encode_bc2_blocks_pallas(
+        _rgba(blocks), weights=PERCEPTUAL_WEIGHTS,
+        iters=2 + amd.refinement_steps,
+        passes=2 if amd.b3d_refinement else 1,
+        adaptive=amd.adaptive_colour_weights)
     fmt = BlockFormat.BC2_SRGB if src.srgb else BlockFormat.BC2_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
                            src.slices)
@@ -78,14 +81,16 @@ def compress_amd_bc2(src: Image,
 def compress_amd_bc3(src: Image,
                      amd_options: Optional[AMDBackendOptions] = None
                      ) -> CompressedImage:
-    """Image_CompressAMDBC3 analog: interpolated alpha + RGB block
-    (amd_bc3_compressor.cpp:41-46)."""
+    """Image_CompressAMDBC3 analog: interpolated alpha + RGB block in one
+    fused launch (amd_bc3_compressor.cpp:41-46)."""
+    from .kernels.bc1_pallas import encode_bc3_blocks_pallas
     amd = amd_options or AMDBackendOptions()
     blocks = image_to_blocks(src.data)
-    cw, _ = _rgb_colour_words(blocks, amd)
-    from .kernels.bc4_pallas import encode_bc4_blocks_pallas
-    aw, _ = encode_bc4_blocks_pallas(_alpha_channel(blocks))
-    words = jnp.concatenate([aw, cw], axis=1)
+    words, _ = encode_bc3_blocks_pallas(
+        _rgba(blocks), weights=PERCEPTUAL_WEIGHTS,
+        iters=2 + amd.refinement_steps,
+        passes=2 if amd.b3d_refinement else 1,
+        adaptive=amd.adaptive_colour_weights)
     fmt = BlockFormat.BC3_SRGB if src.srgb else BlockFormat.BC3_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
                            src.slices)
@@ -107,31 +112,41 @@ def compress_amd_bc4(src: Image) -> CompressedImage:
 
 
 def compress_amd_bc5(src: Image) -> CompressedImage:
-    """Image_CompressAMDBC5 analog: channels 0,1 -> two scalar blocks
-    (amd_bc5_compressor.cpp:35-41)."""
-    from .kernels.bc4_pallas import encode_bc4_blocks_pallas
+    """Image_CompressAMDBC5 analog: channels 0,1 -> two scalar blocks in
+    one fused launch (amd_bc5_compressor.cpp:35-41)."""
+    from .kernels.bc4_pallas import encode_bc5_blocks_pallas
     blocks = image_to_blocks(src.data)
-    rw, _ = encode_bc4_blocks_pallas(blocks[:, :, 0])
-    gw, _ = encode_bc4_blocks_pallas(blocks[:, :, 1])
-    words = jnp.concatenate([rw, gw], axis=1)
+    words, _ = encode_bc5_blocks_pallas(blocks)
     fmt = BlockFormat.BC5_SNORM if src.signed else BlockFormat.BC5_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
                            src.slices)
 
 
 def compress_amd_bc6h(src: Image,
-                      amd_options: Optional[AMDBackendOptions] = None
+                      amd_options: Optional[AMDBackendOptions] = None,
+                      options: Optional[BC6HOptions] = None
                       ) -> CompressedImage:
     """Image_CompressAMDBC6H analog (amd_bc6h_compressor.cpp:10-90).
 
     The reference has an argument-order bug that drops the mode mask
-    (amd_bc6h_compressor.cpp:28); here the mask is honored.
+    (the ctor takes it as a bool, amd_bc6h_compressor.cpp:28 /
+    amd_bc6h_body.hpp:303); here the mask is honored. ``options``
+    carries the BC6H-specific quality and the FULL 16-bit mode mask
+    (AMDBackendOptions.mode_mask is a uint8 in the reference struct and
+    cannot address BC6H modes 9-14 — it is used only when explicitly
+    passed without a BC6HOptions).
     """
     from .kernels.bc6h_pallas import encode_bc6h_blocks_pallas
-    amd = amd_options or AMDBackendOptions()
+    if options is not None:
+        quality, mask = options.quality, options.mode_mask
+    elif amd_options is not None:
+        quality, mask = 1.0, amd_options.mode_mask
+    else:
+        quality, mask = 1.0, 0xFFFF
     blocks = image_to_blocks(src.data)
     words, _ = encode_bc6h_blocks_pallas(
-        blocks[:, :, :3], signed=src.signed, mode_mask=amd.mode_mask)
+        blocks[:, :, :3], signed=src.signed, mode_mask=mask,
+        quality=quality)
     fmt = (BlockFormat.BC6H_SFLOAT if src.signed
            else BlockFormat.BC6H_UFLOAT)
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,
@@ -153,7 +168,10 @@ def compress_amd_bc7(src: Image,
     blocks = image_to_blocks(src.data)
     words, _ = encode_chunked(
         _partial(encode_bc7_blocks_pallas, quality=opt.quality,
-                 mode_mask=opt.mode_mask),
+                 mode_mask=opt.mode_mask,
+                 colour_restrict=opt.colour_restrict,
+                 alpha_restrict=opt.alpha_restrict,
+                 performance=opt.performance),
         _rgba(blocks), chunk=65536)
     fmt = BlockFormat.BC7_SRGB if src.srgb else BlockFormat.BC7_UNORM
     return CompressedImage(_grid(src, words, 4), fmt, src.width, src.height,

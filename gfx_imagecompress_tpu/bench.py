@@ -114,29 +114,21 @@ def main():
     dt = _marginal_time(encode_bc4_blocks_pallas, g)
     results["bc4_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
 
-    def bc5(b):
-        rw, re = encode_bc4_blocks_pallas(b[:, :, 0])
-        gw, ge = encode_bc4_blocks_pallas(b[:, :, 1])
-        return jnp.concatenate([rw, gw], 1), re + ge
-
-    dt = _marginal_time(bc5, g2)
+    from gfx_imagecompress_tpu.kernels.bc4_pallas import (
+        encode_bc5_blocks_pallas)
+    dt = _marginal_time(encode_bc5_blocks_pallas, g2)
     results["bc5_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
 
-    # --- config 3: BC2/BC3 1K RGBA ---
+    # --- config 3: BC2/BC3 1K RGBA (fused single-launch kernels) ---
     if time_left() < 90:
         results["skipped_after"] = "bc4"
         return _emit(results, bc1_mts)
     b1k = image_to_blocks(jnp.asarray(photo(1024, 1024)[None]))
+    from gfx_imagecompress_tpu.kernels.bc1_pallas import (
+        encode_bc2_blocks_pallas, encode_bc3_blocks_pallas)
 
-    def bc3(b):
-        cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
-        aw, ae = encode_bc4_blocks_pallas(b[:, :, 3])
-        return jnp.concatenate([aw, cw], 1), ce + ae
-
-    def bc2(b):
-        cw, ce = encode_bc1_blocks_pallas(b, allow_three=False)
-        aw, ae = encode_bc2_alpha_blocks(b[:, :, 3])
-        return jnp.concatenate([aw, cw], 1), ce + ae
+    bc3 = encode_bc3_blocks_pallas
+    bc2 = encode_bc2_blocks_pallas
 
     dt = _marginal_time(bc3, b1k)
     results["bc3_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6

@@ -65,7 +65,7 @@ def compress_multi_mode_ldr_blocks(rgba, mode_mask=0xFF, src_has_alpha=True,
     words, _ = encode_bc7_blocks(
         jnp.asarray(rgba), quality=quality, mode_mask=mode_mask,
         src_has_alpha=src_has_alpha, colour_restrict=colour_restrict,
-        alpha_restrict=alpha_restrict)
+        alpha_restrict=alpha_restrict, performance=performance)
     return words
 
 

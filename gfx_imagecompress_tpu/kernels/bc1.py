@@ -110,6 +110,68 @@ def refine_565(pts, mask, q0, q1, four: bool, weights,
     return q0, q1, best_err
 
 
+_CH_BITS = (5, 6, 5)
+
+
+def _chan_palette_565(c0, c1, ch: int, four: bool):
+    """Decoded palette values of ONE channel from its 565 components.
+
+    c0/c1 (N,) int -> (N,K) int.
+    """
+    b = _CH_BITS[ch]
+    e0 = (c0 << (8 - b)) | (c0 >> (2 * b - 8))
+    e1 = (c1 << (8 - b)) | (c1 >> (2 * b - 8))
+    if four:
+        cols = [e0, e1, (2 * e0 + e1 + 1) // 3, (e0 + 2 * e1 + 1) // 3]
+    else:
+        cols = [e0, e1, (e0 + e1 + 1) // 2]
+    return jnp.stack(cols, axis=-1)
+
+
+def refine3d_565(pts, mask, q0, q1, four: bool, weights, steps: int = 1):
+    """Joint 3-channel endpoint jitter — Refine3D (amd_bcx_body.cpp:808-932):
+    ALL (2*steps+1)^6 simultaneous (lo, hi) moves of the three channels,
+    scored under the exact decode palette via the reference's own
+    per-channel distance decomposition (RmpErrG/RmpErr accumulation).
+
+    ``steps`` is statically capped at 1 (729 combos) — the trace cost of
+    the joint cube grows as (2s+1)^6.
+    """
+    steps = min(int(steps), 1)
+    maxq = (31, 63, 31)
+    rng_ = tuple(range(-steps, steps + 1))
+    combos = tuple((d0, d1) for d0 in rng_ for d1 in rng_)
+    D, Q = [], []
+    for c in range(3):
+        tabd, tabq = {}, {}
+        for d in combos:
+            c0 = jnp.clip(q0[..., c] + d[0], 0, maxq[c])
+            c1 = jnp.clip(q1[..., c] + d[1], 0, maxq[c])
+            pal_c = _chan_palette_565(c0, c1, c, four)      # (N,K)
+            diff = pts[..., c][:, :, None] - pal_c[:, None, :].astype(F32)
+            tabd[d] = weights[c] * diff * diff              # (N,16,K)
+            tabq[d] = (c0, c1)
+        D.append(tabd)
+        Q.append(tabq)
+    best = None
+    for dg in combos:
+        for db in combos:
+            gb = D[1][dg] + D[2][db]
+            for dr in combos:
+                dist = gb + D[0][dr]
+                err = jnp.sum(jnp.min(dist, axis=-1) * mask, axis=-1)
+                cand = (err, Q[0][dr][0], Q[0][dr][1], Q[1][dg][0],
+                        Q[1][dg][1], Q[2][db][0], Q[2][db][1])
+                if best is None:
+                    best = cand
+                else:
+                    bt = cand[0] < best[0]
+                    best = tuple(jnp.where(bt, cc, bb)
+                                 for cc, bb in zip(cand, best))
+    err, r0, r1, g0, g1, b0, b1 = best
+    return (jnp.stack([r0, g0, b0], -1), jnp.stack([r1, g1, b1], -1), err)
+
+
 def pack_565(q: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) int32 565 components -> (...,) int32 packed 565 word."""
     return (q[..., 0] << 11) | (q[..., 1] << 5) | q[..., 2]
@@ -164,7 +226,7 @@ def _ramp_position_sweep(t, mask, tmin, tmax, levels):
 
 
 def _fit_mode(pts, mask, four: bool, weights, iters: int,
-              refine_passes: int):
+              refine_passes: int, b3d: bool = False):
     levels = LEVELS4 if four else LEVELS3
     lv = jnp.asarray(levels, F32)
     mean, axis = principal_axis(pts, mask)
@@ -193,8 +255,14 @@ def _fit_mode(pts, mask, four: bool, weights, iters: int,
         q0 = jnp.where(bt[:, None], cq0, q0)
         q1 = jnp.where(bt[:, None], cq1, q1)
         err = jnp.minimum(cerr, err)
-    q0, q1, err = refine_565(pts, mask, q0, q1, four, weights,
-                             passes=refine_passes)
+    if b3d:
+        # joint 3-channel cube (Refine3D, bcx:808-932; either/or dispatch
+        # per the reference, bcx:1198-1202)
+        q0, q1, err = refine3d_565(pts, mask, q0, q1, four, weights,
+                                   steps=refine_passes)
+    else:
+        q0, q1, err = refine_565(pts, mask, q0, q1, four, weights,
+                                 passes=refine_passes)
     idx, err = _eval_q(pts, mask, q0, q1, four, weights)
     return q0, q1, idx, err
 
@@ -232,12 +300,14 @@ def encode_bc1_blocks(blocks: jnp.ndarray,
     has_transparent = jnp.any(~opaque, axis=-1)
 
     iters = 2 + int(refinement_steps)
-    passes = 2 if b3d_refinement else 1
+    passes = 1
 
-    q0_4, q1_4, idx4, err4 = _fit_mode(pts, mask, True, w, iters, passes)
+    q0_4, q1_4, idx4, err4 = _fit_mode(pts, mask, True, w, iters, passes,
+                                       b3d=b3d_refinement)
 
     if allow_three:
-        q0_3, q1_3, idx3, err3 = _fit_mode(pts, mask, False, w, iters, passes)
+        q0_3, q1_3, idx3, err3 = _fit_mode(pts, mask, False, w, iters,
+                                           passes, b3d=b3d_refinement)
     else:
         q0_3, q1_3 = q0_4, q1_4
         idx3, err3 = idx4, jnp.full((n,), jnp.inf, F32)

@@ -325,11 +325,57 @@ def _refine(xs, q0, q1, four: bool, w, passes: int, m=None):
     return q0, q1
 
 
+def _refine3d(xs, q0, q1, four: bool, w, steps: int, m=None):
+    """Joint 3-channel endpoint jitter on lane rows — Refine3D
+    (amd_bcx_body.cpp:808-932): all (2*steps+1)^6 simultaneous channel
+    moves, scored via the reference's per-channel distance decomposition
+    (RmpErrG/RmpErr accumulation). ``steps`` statically capped at 1.
+    """
+    steps = min(int(steps), 1)
+    maxq = (31, 63, 31)
+    rng_ = tuple(range(-steps, steps + 1))
+    combos = tuple((d0, d1) for d0 in rng_ for d1 in rng_)
+    D, Q = [], []
+    for c in range(3):
+        tabd, tabq = {}, {}
+        for d in combos:
+            c0 = jnp.clip(q0[c] + d[0], 0, maxq[c])
+            c1 = jnp.clip(q1[c] + d[1], 0, maxq[c])
+            ech = _chan_palette(c0, c1, c, four)
+            tabd[d] = [w[c] * (xs[c] - e.astype(F32)) ** 2 for e in ech]
+            tabq[d] = (c0, c1)
+        D.append(tabd)
+        Q.append(tabq)
+    best = None
+    for dg in combos:
+        for db in combos:
+            gb = [a + b for a, b in zip(D[1][dg], D[2][db])]
+            for dr in combos:
+                dbest = None
+                for a, b in zip(gb, D[0][dr]):
+                    dk = a + b
+                    dbest = dk if dbest is None else jnp.minimum(dbest, dk)
+                if m is not None:
+                    dbest = dbest * m
+                err = jnp.sum(dbest, axis=0, keepdims=True)
+                cand = (err, Q[0][dr][0], Q[0][dr][1], Q[1][dg][0],
+                        Q[1][dg][1], Q[2][db][0], Q[2][db][1])
+                if best is None:
+                    best = cand
+                else:
+                    take = cand[0] < best[0]
+                    best = tuple(jnp.where(take, cc, bb)
+                                 for cc, bb in zip(cand, best))
+    _, r0, r1, g0, g1, b0, b1 = best
+    return [r0, g0, b0], [r1, g1, b1]
+
+
 def _pack565(q):
     return (q[0] << 11) | (q[1] << 5) | q[2]
 
 
-def _fit_mode(xs, four: bool, w, iters: int, passes: int, m=None):
+def _fit_mode(xs, four: bool, w, iters: int, passes: int, m=None,
+              b3d: bool = False):
     levels = LEVELS4 if four else LEVELS3
     best = None
     for e0, e1 in _fit(xs, levels, iters, w, m):
@@ -345,15 +391,24 @@ def _fit_mode(xs, four: bool, w, iters: int, passes: int, m=None):
                     [jnp.where(take, a, b) for a, b in zip(q0, best[1])],
                     [jnp.where(take, a, b) for a, b in zip(q1, best[2])])
     _, q0, q1 = best
-    q0, q1 = _refine(xs, q0, q1, four, w, passes, m)
+    if b3d:
+        # joint 3-channel cube (Refine3D, bcx:808-932; either/or dispatch
+        # per the reference, bcx:1198-1202)
+        q0, q1 = _refine3d(xs, q0, q1, four, w, passes, m)
+    else:
+        q0, q1 = _refine(xs, q0, q1, four, w, passes, m)
     idx, err = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w, m)
     return q0, q1, idx, err
 
 
-def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
-                allow_three, use_alpha=False, athr=0.5, adaptive=False):
-    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
-               for c in range(3))
+def _bc1_search(xs, av, *, weights, iters, passes, allow_three,
+                use_alpha=False, athr=0.5, adaptive=False, b3d=False):
+    """Full BC1 colour search on channel rows.
+
+    xs: 3 x (16,T) f32 rows in 0..255; av: optional (16,T) alpha rows.
+    Returns (a0 (1,T), a1 (1,T), pidx (16,T), err (1,T)) — packed 565
+    endpoints with index remaps already applied.
+    """
     if adaptive:
         # per-block adaptive colour weights, in-kernel (no host sync): a
         # fixed correct version of the reference's broken per-block
@@ -369,14 +424,14 @@ def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
     else:
         w = weights
     if use_alpha:
-        av = x_ref[48:64, :].astype(F32) * 255.0
         opq = av >= athr * 255.0                       # (16,T) bool
         m = opq.astype(F32)
         has_t = jnp.min(m, axis=0, keepdims=True) < 0.5
     else:
         m = None
 
-    q0_4, q1_4, idx4, err4 = _fit_mode(xs, True, w, iters, passes, m)
+    q0_4, q1_4, idx4, err4 = _fit_mode(xs, True, w, iters, passes, m,
+                                       b3d=b3d)
     c0_4 = _pack565(q0_4)
     c1_4 = _pack565(q1_4)
     swap4 = c0_4 < c1_4
@@ -387,7 +442,8 @@ def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
     degenerate4 = a0_4 == a1_4
 
     if allow_three:
-        q0_3, q1_3, idx3, err3 = _fit_mode(xs, False, w, iters, passes, m)
+        q0_3, q1_3, idx3, err3 = _fit_mode(xs, False, w, iters, passes, m,
+                                           b3d=b3d)
         c0_3 = _pack565(q0_3)
         c1_3 = _pack565(q1_3)
         swap3 = c0_3 > c1_3
@@ -408,18 +464,37 @@ def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
         err = jnp.where(use4, err4, err3)
     else:
         a0, a1, pidx, err = a0_4, a1_4, pidx4, err4
+    return a0, a1, pidx, err
 
-    w0_ref[:] = (a0.astype(U32) | (a1.astype(U32) << 16))
-    wout = jnp.zeros_like(a0, U32)
+
+def _pack_bc1(a0, a1, pidx):
+    w0 = a0.astype(U32) | (a1.astype(U32) << 16)
+    w1 = jnp.zeros_like(a0, U32)
     for p in range(16):
-        wout = wout | (pidx[p:p + 1, :].astype(U32) << U32(2 * p))
-    w1_ref[:] = wout
+        w1 = w1 | (pidx[p:p + 1, :].astype(U32) << U32(2 * p))
+    return w0, w1
+
+
+def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
+                allow_three, use_alpha=False, athr=0.5, adaptive=False,
+                b3d=False):
+    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+               for c in range(3))
+    av = (x_ref[48:64, :].astype(F32) * 255.0) if use_alpha else None
+    a0, a1, pidx, err = _bc1_search(
+        xs, av, weights=weights, iters=iters, passes=passes,
+        allow_three=allow_three, use_alpha=use_alpha, athr=athr,
+        adaptive=adaptive, b3d=b3d)
+    w0, w1 = _pack_bc1(a0, a1, pidx)
+    w0_ref[:] = w0
+    w1_ref[:] = w1
     err_ref[:] = err
 
 
 @partial(jax.jit, static_argnames=("weights", "iters", "passes",
                                   "allow_three", "use_alpha",
-                                  "alpha_threshold", "adaptive", "tile"))
+                                  "alpha_threshold", "adaptive", "b3d",
+                                  "tile"))
 def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
                              weights: tuple = PERCEPTUAL_WEIGHTS,
                              iters: int = 3, passes: int = 1,
@@ -427,6 +502,7 @@ def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
                              use_alpha: bool = False,
                              alpha_threshold: float = 0.5,
                              adaptive: bool = False,
+                             b3d: bool = False,
                              tile: int = TILE):
     """Fused-BC1 entry: (N,16,C>=3) float blocks in [0,1] -> ((N,2) u32, (N,) err).
 
@@ -450,7 +526,7 @@ def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
     grid = total // tile
     kern = partial(_bc1_kernel, weights=weights, iters=iters, passes=passes,
                    allow_three=allow_three, use_alpha=use_alpha,
-                   athr=alpha_threshold, adaptive=adaptive)
+                   athr=alpha_threshold, adaptive=adaptive, b3d=b3d)
     # CPU backend (tests) has no Mosaic: fall back to the interpreter
     interpret = jax.default_backend() == "cpu"
     w0, w1, err = pl.pallas_call(
@@ -475,3 +551,112 @@ def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
     )(xt)
     words = jnp.stack([w0[0, :n], w1[0, :n]], axis=1)
     return words, err[0, :n]
+
+
+# ------------------------------------------------------- fused BC2 / BC3 ---
+
+def _bc3_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
+                weights, iters, passes, adaptive, a_iters, a_radius,
+                a_rounds):
+    """Fused BC3: interpolated-alpha block + 4-colour block in ONE program
+    sharing the block loads (the reference driver is one pass per block,
+    amd_bc3_compressor.cpp:41-46). Word order: alpha pair then colour pair."""
+    from .bc4_pallas import _bc4_search, _pack_dxt5
+    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+               for c in range(3))
+    av = x_ref[48:64, :].astype(F32) * 255.0
+    a0, a1, pidx, cerr = _bc1_search(
+        xs, None, weights=weights, iters=iters, passes=passes,
+        allow_three=False, adaptive=adaptive)
+    cw0, cw1 = _pack_bc1(a0, a1, pidx)
+    q0, q1, idx, aerr = _bc4_search(av, a_iters, a_radius, a_rounds)
+    aw0, aw1 = _pack_dxt5(q0, q1, idx)
+    w0_ref[:] = aw0
+    w1_ref[:] = aw1
+    w2_ref[:] = cw0
+    w3_ref[:] = cw1
+    err_ref[:] = cerr + aerr
+
+
+def _bc2_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
+                weights, iters, passes, adaptive):
+    """Fused BC2: explicit 4-bit alpha + 4-colour block in one program
+    (amd_bc2_compressor.cpp:41-46; alpha rounding of
+    amd_bcx_helpers.cpp:107-123 reproduced exactly)."""
+    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+               for c in range(3))
+    av = x_ref[48:64, :].astype(F32) * 255.0
+    a0, a1, pidx, cerr = _bc1_search(
+        xs, None, weights=weights, iters=iters, passes=passes,
+        allow_three=False, adaptive=adaptive)
+    cw0, cw1 = _pack_bc1(a0, a1, pidx)
+    c = jnp.clip(jnp.round(av), 0, 255).astype(I32)       # (16,T)
+    hi = c >> 4
+    q = jnp.minimum((c + jnp.where(hi < 8, 7, 8) - hi) >> 4, 15)
+    aw0 = jnp.zeros_like(cw0)
+    aw1 = jnp.zeros_like(cw0)
+    for p in range(8):
+        aw0 = aw0 | (q[p:p + 1].astype(U32) << U32(4 * p))
+        aw1 = aw1 | (q[8 + p:9 + p].astype(U32) << U32(4 * p))
+    aerr = jnp.sum((c - q * 17).astype(F32) ** 2, axis=0, keepdims=True)
+    w0_ref[:] = aw0
+    w1_ref[:] = aw1
+    w2_ref[:] = cw0
+    w3_ref[:] = cw1
+    err_ref[:] = cerr + aerr
+
+
+def _fused_alpha_entry(kern_builder, blocks, tile):
+    """Shared wrapper for the 4-word fused BC2/BC3 kernels."""
+    n = blocks.shape[0]
+    npad = -n % tile
+    x = blocks[..., :4].astype(F32)
+    if x.shape[-1] < 4:
+        x = jnp.concatenate([x, jnp.ones(x.shape[:-1] + (1,), F32)], -1)
+    if npad:
+        x = jnp.concatenate([x, jnp.ones((npad, 16, 4), F32)], axis=0)
+    total = x.shape[0]
+    xt = x.transpose(2, 1, 0).reshape(64, total)
+    interpret = jax.default_backend() == "cpu"
+    outs = pl.pallas_call(
+        kern_builder,
+        grid=(total // tile,),
+        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=tuple(
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((1, total), U32)] * 4
+            + [jax.ShapeDtypeStruct((1, total), F32)]),
+        interpret=interpret,
+    )(xt)
+    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
+    return words, outs[4][0, :n]
+
+
+@partial(jax.jit, static_argnames=("weights", "iters", "passes", "adaptive",
+                                  "a_iters", "a_radius", "a_rounds", "tile"))
+def encode_bc3_blocks_pallas(blocks: jnp.ndarray,
+                             weights: tuple = PERCEPTUAL_WEIGHTS,
+                             iters: int = 3, passes: int = 1,
+                             adaptive: bool = False, a_iters: int = 3,
+                             a_radius: int = 2, a_rounds: int = 2,
+                             tile: int = TILE):
+    """Fused BC3: (N,16,4) float blocks in [0,1] -> ((N,4) u32, (N,) err)."""
+    kern = partial(_bc3_kernel, weights=weights, iters=iters, passes=passes,
+                   adaptive=adaptive, a_iters=a_iters, a_radius=a_radius,
+                   a_rounds=a_rounds)
+    return _fused_alpha_entry(kern, blocks, tile)
+
+
+@partial(jax.jit, static_argnames=("weights", "iters", "passes", "adaptive",
+                                  "tile"))
+def encode_bc2_blocks_pallas(blocks: jnp.ndarray,
+                             weights: tuple = PERCEPTUAL_WEIGHTS,
+                             iters: int = 3, passes: int = 1,
+                             adaptive: bool = False, tile: int = TILE):
+    """Fused BC2: (N,16,4) float blocks in [0,1] -> ((N,4) u32, (N,) err)."""
+    kern = partial(_bc2_kernel, weights=weights, iters=iters, passes=passes,
+                   adaptive=adaptive)
+    return _fused_alpha_entry(kern, blocks, tile)

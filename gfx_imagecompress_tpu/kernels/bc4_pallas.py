@@ -64,6 +64,18 @@ def _assign(vals, pal):
     return idx, jnp.sum(best, axis=0, keepdims=True)
 
 
+def _assign_err(vals, pal):
+    """Error-only variant of :func:`_assign` — the sweep's inner loop needs
+    no indices (they are requantized once for the winner), and dropping
+    the per-entry index select nearly halves its lane ops."""
+    best = None
+    for p in pal:
+        d = vals - p.astype(F32)
+        d = d * d
+        best = d if best is None else jnp.minimum(best, d)
+    return jnp.sum(best, axis=0, keepdims=True)
+
+
 def _lsq(vals, alphas, m, e0, e1):
     q00 = jnp.sum(m * (1 - alphas) ** 2, axis=0, keepdims=True)
     q01 = jnp.sum(m * alphas * (1 - alphas), axis=0, keepdims=True)
@@ -110,9 +122,10 @@ def _fit_ramp(vals, weights, interp_slots: int, iters: int,
 
 
 def _sweep(vals, a0, a1, radius: int, eight: bool, rounds: int):
+    """Joint (a0, a1) hill climb; error-only inner loop (indices are
+    requantized once for the final winner in :func:`_bc4_search`)."""
     best_a0, best_a1 = a0, a1
-    idx, best = _assign(vals, _palette(a0, a1, eight))
-    best_idx = idx
+    best = _assign_err(vals, _palette(a0, a1, eight))
     for _ in range(rounds):
         c_a0, c_a1 = best_a0, best_a1
         for d0 in range(-radius, radius + 1):
@@ -122,14 +135,13 @@ def _sweep(vals, a0, a1, radius: int, eight: bool, rounds: int):
                 c0 = jnp.clip(c_a0 + d0, 0, 255)
                 c1 = jnp.clip(c_a1 + d1, 0, 255)
                 ok = (c0 > c1) if eight else (c0 <= c1)
-                i2, e2 = _assign(vals, _palette(c0, c1, eight))
+                e2 = _assign_err(vals, _palette(c0, c1, eight))
                 e2 = jnp.where(ok, e2, jnp.float32(3.4e38))
                 take = e2 < best
                 best_a0 = jnp.where(take, c0, best_a0)
                 best_a1 = jnp.where(take, c1, best_a1)
-                best_idx = jnp.where(take, i2, best_idx)
                 best = jnp.where(take, e2, best)
-    return best_a0, best_a1, best_idx, best
+    return best_a0, best_a1, best
 
 
 def _oem_pairs(n):
@@ -171,15 +183,18 @@ def _sorted_rows(vals):
 
 
 def _best_of(r1, r2):
-    a0a, a1a, ia, ea = r1
-    a0b, a1b, ib, eb = r2
+    a0a, a1a, ea = r1
+    a0b, a1b, eb = r2
     take = eb < ea
     return (jnp.where(take, a0b, a0a), jnp.where(take, a1b, a1a),
-            jnp.where(take, ib, ia), jnp.where(take, eb, ea))
+            jnp.where(take, eb, ea))
 
 
-def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
-    vals = x_ref[:].astype(F32) * 255.0                   # (16,T)
+def _bc4_search(vals, iters, radius, rounds):
+    """Full scalar-ramp search for one (16,T) channel.
+
+    Returns (a0, a1, idx, err) with idx already in DXT5 index space.
+    """
     vmin = jnp.clip(jnp.round(jnp.min(vals, axis=0, keepdims=True)),
                     0, 255).astype(I32)
     vmax = jnp.clip(jnp.round(jnp.max(vals, axis=0, keepdims=True)),
@@ -193,7 +208,7 @@ def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
     r8 = _sweep(vals, hi8, lo, radius, True, rounds)
     vmax8 = jnp.where(vmax > vmin, vmax, jnp.minimum(vmax + 1, 255))
     r8b = _sweep(vals, vmax8, vmin, radius, True, rounds)
-    a0_8, a1_8, idx8, err8 = _best_of(r8, r8b)
+    a0_8, a1_8, err8 = _best_of(r8, r8b)
 
     # ---- 6-point mode (a0 <= a1, literal 0/255 slots)
     e0, e1 = _fit_ramp(vals, W6, 6, iters, True)
@@ -207,7 +222,7 @@ def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
             s0 = jnp.clip(jnp.round(sv[i]), 0, 255).astype(I32)
             s1 = jnp.clip(jnp.round(sv[15 - j]), 0, 255).astype(I32)
             s1 = jnp.maximum(s1, s0)
-            _, e = _assign(vals, _palette(s0, s1, False))
+            e = _assign_err(vals, _palette(s0, s1, False))
             if seed is None:
                 seed = (s0, s1, e)
             else:
@@ -216,15 +231,22 @@ def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
                         jnp.where(take, s1, seed[1]),
                         jnp.where(take, e, seed[2]))
     r6b = _sweep(vals, seed[0], seed[1], radius, False, rounds)
-    a0_6, a1_6, idx6, err6 = _best_of(r6, r6b)
+    a0_6, a1_6, err6 = _best_of(r6, r6b)
 
     use8 = err8 <= err6
     a0 = jnp.where(use8, a0_8, a0_6)
     a1 = jnp.where(use8, a1_8, a1_6)
-    idx = jnp.where(use8, idx8, idx6)
     err = jnp.where(use8, err8, err6)
+    # single index requantize for the winner (both ramp families share the
+    # encode: the mode is implied by a0<=>a1, so select the palette)
+    idx8, _ = _assign(vals, _palette(a0, a1, True))
+    idx6, _ = _assign(vals, _palette(a0, a1, False))
+    idx = jnp.where(use8, idx8, idx6)
+    return a0, a1, idx, err
 
-    # ---- DXT5-style pack (amd_bcx_helpers.cpp:32-46 layout)
+
+def _pack_dxt5(a0, a1, idx):
+    """DXT5-style pack (amd_bcx_helpers.cpp:32-46 layout) -> (w0, w1)."""
     w0 = a0.astype(U32) | (a1.astype(U32) << 8)
     for p in range(5):
         w0 = w0 | (idx[p:p + 1].astype(U32) << U32(16 + 3 * p))
@@ -233,9 +255,34 @@ def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
     w1 = (i5 & 6) >> 1
     for p in range(6, 16):
         w1 = w1 | (idx[p:p + 1].astype(U32) << U32(2 + 3 * (p - 6)))
+    return w0, w1
+
+
+def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
+    vals = x_ref[:].astype(F32) * 255.0                   # (16,T)
+    a0, a1, idx, err = _bc4_search(vals, iters, radius, rounds)
+    w0, w1 = _pack_dxt5(a0, a1, idx)
     w0_ref[:] = w0
     w1_ref[:] = w1
     err_ref[:] = err
+
+
+def _bc5_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
+                iters, radius, rounds):
+    """Fused BC5: both channels' scalar searches in ONE program sharing the
+    block loads (the reference's driver is one pass per block over two
+    channels, amd_bc5_compressor.cpp:35-41)."""
+    r = x_ref[0:16, :].astype(F32) * 255.0
+    g = x_ref[16:32, :].astype(F32) * 255.0
+    a0r, a1r, idxr, errr = _bc4_search(r, iters, radius, rounds)
+    a0g, a1g, idxg, errg = _bc4_search(g, iters, radius, rounds)
+    w0, w1 = _pack_dxt5(a0r, a1r, idxr)
+    w2, w3 = _pack_dxt5(a0g, a1g, idxg)
+    w0_ref[:] = w0
+    w1_ref[:] = w1
+    w2_ref[:] = w2
+    w3_ref[:] = w3
+    err_ref[:] = errr + errg
 
 
 @partial(jax.jit, static_argnames=("iters", "radius", "rounds", "tile"))
@@ -275,3 +322,39 @@ def encode_bc4_blocks_pallas(vals01: jnp.ndarray, *, iters: int = 3,
     )(xt)
     words = jnp.stack([w0[0, :n], w1[0, :n]], axis=1)
     return words, err[0, :n]
+
+
+@partial(jax.jit, static_argnames=("iters", "radius", "rounds", "tile"))
+def encode_bc5_blocks_pallas(blocks: jnp.ndarray, *, iters: int = 3,
+                             radius: int = 2, rounds: int = 2,
+                             tile: int = TILE):
+    """Fused BC5: (N,16,C>=2) float blocks in [0,1] -> ((N,4) u32, (N,) err).
+
+    One Pallas launch encodes both channels (R block then G block),
+    sharing the VMEM-resident loads — vs two independent BC4 launches.
+    """
+    n = blocks.shape[0]
+    npad = -n % tile
+    x = blocks[..., :2].astype(F32)
+    if npad:
+        x = jnp.concatenate([x, jnp.zeros((npad, 16, 2), F32)], axis=0)
+    total = x.shape[0]
+    xt = x.transpose(2, 1, 0).reshape(32, total)
+    grid = total // tile
+    kern = partial(_bc5_kernel, iters=iters, radius=radius, rounds=rounds)
+    interpret = jax.default_backend() == "cpu"
+    outs = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((32, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=tuple(
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((1, total), U32)] * 4
+            + [jax.ShapeDtypeStruct((1, total), F32)]),
+        interpret=interpret,
+    )(xt)
+    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
+    return words, outs[4][0, :n]

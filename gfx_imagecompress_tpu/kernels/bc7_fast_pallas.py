@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tables.bc7_tables import ANCHOR2, P2, WEIGHTS3, WEIGHTS4
 from .bc7_fast import (FAST_PARTITIONS, PERCEP_W, _YCBCR_M,
                        _mode1_solid_table)
+from .common import map_ids as _map_ids
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -518,9 +519,13 @@ def _quant1_subset(ms3, m, e0, e1, perceptual, sbest=None):
         for cn, bs in zip(cand, sbest))
 
 
-def _mode1(xs3, ms3, perceptual, plist, topk, uber, solid_rows):
-    ests = _estimate(xs3, plist)
-    cand_ids = _topk_ids(ests, plist, topk)
+def _mode1(xs3, ms3, perceptual, plist, topk, uber, solid_rows,
+           part_ids=None):
+    if part_ids is None:
+        ests = _estimate(xs3, plist)
+        cand_ids = _topk_ids(ests, plist, topk)
+    else:
+        cand_ids = part_ids
     state = None
     for pid in cand_ids:
         maskbits = _sel_by_id(pid, [P2[p] if p in plist else 0
@@ -683,14 +688,15 @@ def _pack_mode1(st):
 
 
 # --------------------------------------------------------------- kernel ---
-def _bc7fast_kernel(x_ref, solid_ref, w0, w1, w2, w3, err_ref, *,
-                    perceptual, fast, plist_override=None,
+def _bc7fast_kernel(x_ref, solid_ref, parts_ref, w0, w1, w2, w3, err_ref, *,
+                    perceptual, fast, nparts_k, plist_override=None,
                     topk_override=None, uber_override=None):
     xs = [x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
           for c in range(4)]
     has_alpha = jnp.min(xs[3], axis=0, keepdims=True) < 254.999
     ms = _to_metric_rows(xs, perceptual)
     solid_rows = [solid_ref[c:c + 1, :] for c in range(7)]
+    part_ids = [parts_ref[k:k + 1, :] for k in range(nparts_k)]
 
     uber = (0 if fast else 4) if uber_override is None else uber_override
     st6 = _mode6(xs, ms, perceptual, uber)
@@ -698,7 +704,8 @@ def _bc7fast_kernel(x_ref, solid_ref, w0, w1, w2, w3, err_ref, *,
 
     plist = plist_override or (FAST_PARTITIONS if fast else tuple(range(64)))
     topk = topk_override or (2 if fast else 4)
-    st1 = _mode1(xs[:3], ms[:3], perceptual, plist, topk, uber, solid_rows)
+    st1 = _mode1(xs[:3], ms[:3], perceptual, plist, topk, uber, solid_rows,
+                 part_ids)
     cols1 = _pack_mode1(st1)
 
     err1 = jnp.where(has_alpha, jnp.float32(3.4e38), st1["err"])
@@ -712,18 +719,31 @@ def _bc7fast_kernel(x_ref, solid_ref, w0, w1, w2, w3, err_ref, *,
 
 
 def _solid_inputs(x):
-    """Optimal mode-1 single-colour endpoints for each block's mean colour,
-    gathered in XLA (richgel:162-196 table): (N,16,4) 0..1 -> (7,N) int32
-    rows q0 r,g,b / q1 r,g,b / pbit."""
+    """Optimal mode-1 single-colour endpoints for each block's mean colour
+    (richgel:162-196 table): (N,16,4) 0..1 -> (7,N) int32 rows
+    q0 r,g,b / q1 r,g,b / pbit.
+
+    The 256-entry table lookup is a ONE-HOT MATMUL, not a gather: XLA
+    gathers run on the TPU scalar core and this lookup alone cost 7.3 ms
+    per 64k blocks (more than the whole fused kernel, measured r3); the
+    (N*3,256)x(256,6) einsum rides the MXU in microseconds.
+    """
+    import numpy as np
     lo_t, hi_t, err_t = _mode1_solid_table()
+    tabs = jnp.asarray(np.concatenate(
+        [lo_t, hi_t, err_t], axis=1).astype(np.float32))   # (256,6)
     c = jnp.clip(jnp.round(jnp.mean(x[..., :3], axis=1) * 255.0),
                  0, 255).astype(I32)                       # (N,3)
-    errs = jnp.sum(jnp.asarray(err_t)[c], axis=1)          # (N,2)
+    oh = (c[..., None] == jnp.arange(256, dtype=I32)).astype(F32)
+    v = jnp.einsum("nck,kv->ncv", oh, tabs,
+                   preferred_element_type=F32)             # (N,3,6)
+    errs = jnp.sum(v[..., 4:6], axis=1)                    # (N,2)
     pb = jnp.argmin(errs, axis=1).astype(I32)              # (N,)
-    sel = jnp.broadcast_to(pb[:, None, None], c.shape + (1,))
-    q0 = jnp.take_along_axis(jnp.asarray(lo_t)[c], sel, axis=2)[..., 0]
-    q1 = jnp.take_along_axis(jnp.asarray(hi_t)[c], sel, axis=2)[..., 0]
-    return jnp.concatenate([q0.T, q1.T, pb[None, :]], axis=0)
+    pbf = pb[:, None].astype(F32)
+    q0 = v[..., 0] * (1.0 - pbf) + v[..., 1] * pbf         # (N,3)
+    q1 = v[..., 2] * (1.0 - pbf) + v[..., 3] * pbf
+    return jnp.concatenate([q0.T.astype(I32), q1.T.astype(I32),
+                            pb[None, :]], axis=0)
 
 
 @partial(jax.jit, static_argnames=("fast", "perceptual", "tile",
@@ -741,10 +761,23 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
     total = x.shape[0]
     xt = x.transpose(2, 1, 0).reshape(64, total)
     solid = _solid_inputs(x)
+
+    # ---- mode-1 partition estimation in XLA (einsum -> MXU), top-k ids
+    # fed to the kernel as lane rows — the bounds-axis sweep over the
+    # shortlist costs ~40% of the fused kernel when done per-lane on the
+    # VPU (measured on-chip r3); the kernel keeps only the exact fits
+    from .bc7_fast import _estimate_partitions
+    plist = _plist or (FAST_PARTITIONS if fast else tuple(range(64)))
+    topk = _topk or (2 if fast else 4)
+    topk = min(topk, len(plist))
+    est = _estimate_partitions(x[..., :3] * 255.0, plist)    # (total,P)
+    _, top = jax.lax.top_k(-est, topk)
+    part_rows = _map_ids(top, plist).T                       # (K,total)
+
     grid = total // tile
     kern = partial(_bc7fast_kernel, perceptual=perceptual, fast=fast,
-                   plist_override=_plist, topk_override=_topk,
-                   uber_override=_uber)
+                   nparts_k=topk, plist_override=_plist,
+                   topk_override=_topk, uber_override=_uber)
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern,
@@ -752,6 +785,8 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
         in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((7, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((topk, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(
             pl.BlockSpec((1, tile), lambda i: (0, i),
@@ -760,6 +795,6 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
             [jax.ShapeDtypeStruct((1, total), U32)] * 4
             + [jax.ShapeDtypeStruct((1, total), F32)]),
         interpret=interpret,
-    )(xt, solid)
+    )(xt, solid, part_rows)
     words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
     return words, outs[4][0, :n]

@@ -97,35 +97,93 @@ def _pbit_combos(mode):
     return ((None, None),)
 
 
-def _quant_subset(pts, m, mode, e0, e1, weights):
-    """Quantize one subset's float endpoints under all pbit combos; exact
-    palette evaluation. Returns (err, q0, q1, p0, p1, idx)."""
+def _quant_channels(e0, e1, mode, p0, p1, chans):
+    """Quantize all channels under one (p0, p1) choice -> (q0,q1,d0,d1)."""
+    qs0, ds0, qs1, ds1 = [], [], [], []
+    for c in range(chans):
+        bits = mode.colour_bits if c < 3 else mode.alpha_bits
+        if p0 is None:
+            q0c, d0c = quantize_plain(e0[..., c], bits)
+            q1c, d1c = quantize_plain(e1[..., c], bits)
+        else:
+            q0c, d0c = quantize_pbit(e0[..., c], bits, p0)
+            q1c, d1c = quantize_pbit(e1[..., c], bits, p1)
+        qs0.append(q0c)
+        ds0.append(d0c)
+        qs1.append(q1c)
+        ds1.append(d1c)
+    return (jnp.stack(qs0, -1), jnp.stack(qs1, -1),
+            jnp.stack(ds0, -1), jnp.stack(ds1, -1))
+
+
+def _pbit_analytic_choice(e0, e1, mode, chans):
+    """Analytic p-bit selection by endpoint rounding error (the bc7enc16
+    rule, richgel:606-708) — used in the partition RACE, where only the
+    candidate ranking matters; the winner's shake re-races p-bits against
+    the full palette (reference parity-vector enumeration analog)."""
+    e0c = jnp.clip(e0, 0.0, 255.0)
+    e1c = jnp.clip(e1, 0.0, 255.0)
+
+    def perr(e, d):
+        return jnp.sum((d.astype(F32) - e[..., :chans]) ** 2, axis=-1)
+
+    if mode.pbit_mode == "per_endpoint":
+        best = None
+        for p0 in (0, 1):
+            for p1 in (0, 1):
+                q0, q1, d0, d1 = _quant_channels(e0c, e1c, mode, p0, p1,
+                                                 chans)
+                err = perr(e0c, d0) + perr(e1c, d1)
+                cand = (err, q0, q1, d0, d1,
+                        jnp.full(err.shape, p0, I32),
+                        jnp.full(err.shape, p1, I32))
+                if best is None:
+                    best = cand
+                else:
+                    bt = cand[0] < best[0]
+                    best = tuple(
+                        jnp.where(bt.reshape(bt.shape + (1,) * (b.ndim - 1)),
+                                  c, b)
+                        for c, b in zip(cand, best))
+        return best[1:]
+    # shared
+    best = None
+    for p in (0, 1):
+        q0, q1, d0, d1 = _quant_channels(e0c, e1c, mode, p, p, chans)
+        err = perr(e0c, d0) + perr(e1c, d1)
+        cand = (err, q0, q1, d0, d1, jnp.full(err.shape, p, I32),
+                jnp.full(err.shape, p, I32))
+        if best is None:
+            best = cand
+        else:
+            bt = cand[0] < best[0]
+            best = tuple(
+                jnp.where(bt.reshape(bt.shape + (1,) * (b.ndim - 1)), c, b)
+                for c, b in zip(cand, best))
+    return best[1:]
+
+
+def _quant_subset(pts, m, mode, e0, e1, weights, analytic: bool = False):
+    """Quantize one subset's float endpoints; exact palette evaluation.
+
+    ``analytic``: choose p-bits by endpoint rounding error (one palette
+    eval) instead of racing every combo — used inside the partition race.
+    Returns (err, q0, q1, p0, p1, idx)."""
     n = pts.shape[0]
-    cbits = mode.colour_bits
-    abits = mode.alpha_bits
     chans = pts.shape[-1]
+    if analytic and mode.pbit_mode != "none":
+        q0, q1, d0, d1, pv0, pv1 = _pbit_analytic_choice(e0, e1, mode, chans)
+        pal = palette(d0, d1, mode.index_bits)
+        idx, err = assign_nearest(pts, pal, weights, m)
+        return err, q0, q1, pv0, pv1, idx
     best = None
     for p0, p1 in _pbit_combos(mode):
-        qs0, ds0, qs1, ds1 = [], [], [], []
-        for c in range(chans):
-            bits = cbits if c < 3 else abits
-            if p0 is None:
-                q0c, d0c = quantize_plain(e0[..., c], bits)
-                q1c, d1c = quantize_plain(e1[..., c], bits)
-            else:
-                q0c, d0c = quantize_pbit(e0[..., c], bits, p0)
-                q1c, d1c = quantize_pbit(e1[..., c], bits, p1)
-            qs0.append(q0c)
-            ds0.append(d0c)
-            qs1.append(q1c)
-            ds1.append(d1c)
-        d0 = jnp.stack(ds0, -1)
-        d1 = jnp.stack(ds1, -1)
+        q0, q1, d0, d1 = _quant_channels(e0, e1, mode, p0, p1, chans)
         pal = palette(d0, d1, mode.index_bits)
         idx, err = assign_nearest(pts, pal, weights, m)
         pv0 = jnp.full((n,), 0 if p0 is None else p0, I32)
         pv1 = jnp.full((n,), 0 if p1 is None else p1, I32)
-        cand = (err, jnp.stack(qs0, -1), jnp.stack(qs1, -1), pv0, pv1, idx)
+        cand = (err, q0, q1, pv0, pv1, idx)
         if best is None:
             best = cand
         else:
@@ -264,7 +322,7 @@ def _uber_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
     n = pts.shape[0]
     for v in _sel_variants(idx, mn, mx, max_sel, uber):
         e0v, e1v = lsq_refit(pts, m, lv[v], d0, d1)
-        cand = _quant_subset(pts, m, mode, e0v, e1v, weights)
+        cand = _quant_subset(pts, m, mode, e0v, e1v, weights, analytic=True)
         bt = cand[0] < best[0]
         best = tuple(
             jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
@@ -273,10 +331,14 @@ def _uber_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
 
 
 def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
-                       shake_rounds: int = 0, uber: int = 0):
+                       shake_rounds: int = 0, uber: int = 0,
+                       cand_parts=None):
     """Generic single-index mode encoder (modes 0,1,2,3,6,7).
 
     pts (N,16,C) with C=4 iff mode has alpha endpoints, else C=3.
+    ``cand_parts``: optional precomputed (N,K) top-k partition ids — the
+    shared estimate reused across modes with equal subset count (the
+    reference's sortProjection-once structure, bc7_body:643-709).
     Returns (err, words).
     """
     n = pts.shape[0]
@@ -286,6 +348,8 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
         parts = jnp.zeros((n,), I32)
         cand_parts = parts[:, None]
         topk = 1
+    elif cand_parts is not None:
+        topk = cand_parts.shape[1]
     else:
         est = _estimate_partitions_vec(pts, s_count, plist,
                                        1 << mode.index_bits)
@@ -304,11 +368,7 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
             m = (sub == s).astype(F32)
             e0, e1 = fit_line_iterative(pts, m, levels, iters, weights)
             err, q0, q1, p0, p1, idx = _quant_subset(
-                pts, m, mode, e0, e1, weights)
-            if shake_rounds:
-                err, q0, q1, p0, p1, idx = _shake_subset(
-                    pts, m, mode, q0, q1, p0, p1, idx, err, weights,
-                    shake_rounds)
+                pts, m, mode, e0, e1, weights, analytic=True)
             errl.append(err)
             q0l.append(q0)
             q1l.append(q1)
@@ -327,20 +387,24 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
                 for c, b in zip(cand, best))
     total, errs, part, q0, q1, pb0, pb1, idx = best
 
-    if uber:
-        # refine the winning partition's subsets only (the reference spends
-        # its shaker budget on the sorted-best partitions the same way,
-        # bc7_body:643-709)
+    if uber or shake_rounds:
+        # refine + shake the winning partition's subsets only (the
+        # reference spends its shaker budget on the sorted-best partitions
+        # the same way, bc7_body:643-709)
         sub = ptab[part]
         for s in range(s_count):
             m = (sub == s).astype(F32)
-            err_s, q0s, q1s, p0s, p1s, idx_s = _uber_subset(
-                pts, m, mode, q0[:, s], q1[:, s], pb0[:, s], pb1[:, s],
-                idx, errs[:, s], weights, uber)
+            err_s, q0s, q1s, p0s, p1s, idx_s = (
+                errs[:, s], q0[:, s], q1[:, s], pb0[:, s], pb1[:, s], idx)
+            if uber:
+                err_s, q0s, q1s, p0s, p1s, idx_s = _uber_subset(
+                    pts, m, mode, q0s, q1s, p0s, p1s, idx_s, err_s,
+                    weights, uber)
             if shake_rounds:
                 err_s, q0s, q1s, p0s, p1s, idx_s = _shake_subset(
                     pts, m, mode, q0s, q1s, p0s, p1s, idx_s, err_s,
-                    weights, 1, srange=2 if shake_rounds >= 3 else 1)
+                    weights, shake_rounds,
+                    srange=2 if shake_rounds >= 3 else 1)
             errs = errs.at[:, s].set(err_s)
             q0 = q0.at[:, s].set(q0s)
             q1 = q1.at[:, s].set(q1s)
@@ -432,16 +496,23 @@ def _uber_dual_colour(rgb, mask, cbits: int, ibits: int, qc0, qc1, cidx,
     return best
 
 
+# channel permutation per rotation (swap channel rot-1 with alpha)
+_ROT_PERMS = ((0, 1, 2, 3), (3, 1, 2, 0), (0, 3, 2, 1), (0, 1, 3, 2))
+
+
 def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
                      uber: int = 0):
     """Modes 4/5: rotation race x index-selection race x separate RGB +
-    scalar alpha fits, each followed by uber selector rounds and the
-    quantized-space shaker.
+    scalar alpha fits; the uber selector rounds and the quantized-space
+    shaker run on the (rot, sel) winner only (the reference refines only
+    its best candidate the same way).
 
     pts (N,16,4) 0..255. CompressDualIndexBlock analog
     (amd_bc7_body.cpp:1059-1278) including the mode-4 ``indexSelection``
     axis (:1099-1127): idx_mode==1 gives colour the 3-bit index set and
-    alpha the 2-bit set. Returns (err, words).
+    alpha the 2-bit set. Winner refinement assumes permutation-invariant
+    channel weights (the driver always passes uniform weights).
+    Returns (err, words).
     """
     n = pts.shape[0]
     w4 = jnp.asarray(weights, F32)
@@ -449,9 +520,7 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
     mask = jnp.ones((n, 16), F32)
     best = None
     for rot in range(4):
-        perm = [0, 1, 2, 3]
-        if rot:
-            perm[rot - 1], perm[3] = perm[3], perm[rot - 1]
+        perm = list(_ROT_PERMS[rot])
         p = pts[..., perm]
         wp = w4[jnp.asarray(perm)]
         rgb, alpha = p[..., :3], p[..., 3]
@@ -472,34 +541,12 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
             qc1 = jnp.stack(qs1, -1)
             pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1), cbits_idx)
             cidx, cerr = assign_nearest(rgb, pal, wp[:3], mask)
-            if uber:
-                cerr, qc0, qc1, cidx = _uber_dual_colour(
-                    rgb, mask, mode.colour_bits, cbits_idx, qc0, qc1,
-                    cidx, cerr, wp[:3], min(uber, 2))
-            if shake_rounds:
-                cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
-                cerr, qc0, qc1, _, _, cidx = _shake_subset(
-                    rgb, mask, cmode, qc0, qc1, zeros, zeros, cidx, cerr,
-                    wp[:3], shake_rounds)
             aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
                                                abits_idx)
-            if shake_rounds:
-                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
-                aerr, qa0v, qa1v, _, _, aidx = _shake_subset(
-                    alpha[..., None], mask, amode, qa0[..., None],
-                    qa1[..., None], zeros, zeros, aidx, aerr,
-                    jnp.ones((1,), F32), shake_rounds)
-                qa0 = qa0v[..., 0]
-                qa1 = qa1v[..., 0]
             err = cerr + aerr * wp[3]
-            # field1 stores the index_bits-wide set, field2 the other one
-            if sel:
-                f1idx, f2idx = aidx, cidx
-            else:
-                f1idx, f2idx = cidx, aidx
-            cand = (err, jnp.full((n,), rot, I32),
+            cand = (err, cerr, aerr, jnp.full((n,), rot, I32),
                     jnp.full((n,), sel, I32), qc0, qc1, qa0, qa1,
-                    f1idx, f2idx)
+                    cidx, aidx)
             if best is None:
                 best = cand
             else:
@@ -507,9 +554,78 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
                 best = tuple(
                     jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
                     for c, b in zip(cand, best))
-    err, rot, sel, qc0, qc1, qa0, qa1, f1idx, f2idx = best
+    err, cerr, aerr, rot, sel, qc0, qc1, qa0, qa1, cidx, aidx = best
+
+    if uber or shake_rounds:
+        # winner-only refinement: gather the winning rotation's permuted
+        # points once, then refine each static sel path and lane-select
+        perm = jnp.asarray(_ROT_PERMS, I32)[rot]               # (N,4)
+        p = jnp.take_along_axis(pts, perm[:, None, :], axis=2)
+        rgb, alpha = p[..., :3], p[..., 3]
+        w3 = w4[:3]
+        for sv in range(1 << mode.index_mode_bits):
+            in_sel = (sel == sv) if mode.index_mode_bits else (sel == sel)
+            cbits_idx = mode.index_bits2 if sv else mode.index_bits
+            abits_idx = mode.index_bits if sv else mode.index_bits2
+            cerr_v, qc0v, qc1v, cidx_v = cerr, qc0, qc1, cidx
+            if uber:
+                cerr_v, qc0v, qc1v, cidx_v = _uber_dual_colour(
+                    rgb, mask, mode.colour_bits, cbits_idx, qc0v, qc1v,
+                    cidx_v, cerr_v, w3, min(uber, 2))
+            if shake_rounds:
+                cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
+                cerr_v, qc0v, qc1v, _, _, cidx_v = _shake_subset(
+                    rgb, mask, cmode, qc0v, qc1v, zeros, zeros, cidx_v,
+                    cerr_v, w3, shake_rounds)
+                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
+                aerr_v, qa0v, qa1v, _, _, aidx_v = _shake_subset(
+                    alpha[..., None], mask, amode, qa0[..., None],
+                    qa1[..., None], zeros, zeros, aidx, aerr,
+                    jnp.ones((1,), F32), shake_rounds)
+                qa0v, qa1v = qa0v[..., 0], qa1v[..., 0]
+            else:
+                aerr_v, qa0v, qa1v, aidx_v = aerr, qa0, qa1, aidx
+            gain = (cerr_v + aerr_v * w4[3]) < (cerr + aerr * w4[3])
+            tk = in_sel & gain
+            cerr = jnp.where(tk, cerr_v, cerr)
+            aerr = jnp.where(tk, aerr_v, aerr)
+            qc0 = jnp.where(tk[:, None], qc0v, qc0)
+            qc1 = jnp.where(tk[:, None], qc1v, qc1)
+            qa0 = jnp.where(tk, qa0v, qa0)
+            qa1 = jnp.where(tk, qa1v, qa1)
+            cidx = jnp.where(tk[:, None], cidx_v, cidx)
+            aidx = jnp.where(tk[:, None], aidx_v, aidx)
+        err = cerr + aerr * w4[3]
+
+    f1idx = jnp.where((sel == 1)[:, None], aidx, cidx)
+    f2idx = jnp.where((sel == 1)[:, None], cidx, aidx)
     words = pack_dual(mode, rot, sel, qc0, qc1, qa0, qa1, f1idx, f2idx)
     return err, words
+
+
+def _combined_alpha_bar(blocks, pts, colour_restrict: bool,
+                        alpha_restrict: bool):
+    """Per-block mask barring the COMBINED_ALPHA modes (6, 7) — the
+    reference's mode restriction scan (amd_bc7_body.cpp:1312-1380):
+
+      - colourRestrict: an opaque, non-solid block must not use a
+        colour+alpha mode (parity could make it slightly transparent);
+      - alphaRestrict: a block with thresholded (0/1) alpha must not use
+        a colour+alpha mode (punch-through safety).
+
+    Returns (N,) bool, True where modes 6/7 are barred.
+    """
+    a = blocks[..., 3]
+    needs_alpha = jnp.any(a < 1.0, axis=1)
+    zero_one = jnp.any((a >= 0.99999) | (a < 0.00001), axis=1)
+    rng = jnp.max(pts, axis=1) - jnp.min(pts, axis=1)        # (N,4)
+    solid = jnp.max(rng, axis=-1) < 1e-10
+    bar = jnp.zeros(needs_alpha.shape, bool)
+    if colour_restrict:
+        bar = bar | (~solid & ~needs_alpha)
+    if alpha_restrict:
+        bar = bar | (needs_alpha & zero_one)
+    return bar
 
 
 def _budgets(quality: float):
@@ -531,26 +647,64 @@ def _budgets(quality: float):
 
 
 @partial(jax.jit, static_argnames=("quality", "mode_mask", "src_has_alpha",
-                                  "colour_restrict", "alpha_restrict"))
+                                  "colour_restrict", "alpha_restrict",
+                                  "performance"))
 def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
                       mode_mask: int = 0xFF, src_has_alpha: bool = True,
                       colour_restrict: bool = True,
-                      alpha_restrict: bool = True):
+                      alpha_restrict: bool = True,
+                      performance: float = 1.0):
     """Encode (N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err).
 
     Image_CompressAMDMultiModeLDRBlock analog (amd_bc7_compressor.cpp:11-23).
     Every enabled mode is evaluated; opaque-only modes (0-3) pay the true
-    alpha penalty on non-opaque blocks so the argmin prunes them naturally
-    (replacing the reference's alpha-scan mode masking, bc7_body:1312-1380).
+    alpha penalty on non-opaque blocks so the argmin prunes them naturally;
+    the COMBINED_ALPHA restrictions (colour_restrict / alpha_restrict,
+    bc7_body:1312-1380) bar modes 6/7 per block via error masking.
     """
     pts = blocks.astype(F32) * 255.0
     n = pts.shape[0]
     w = (1.0, 1.0, 1.0, 1.0)
     nparts, topk, iters, shake, uber = _budgets(quality)
+    # ``performance`` scales the per-mode search effort at a given quality
+    # (the reference's knob gates its quantizer search the same direction,
+    # amd_bc7_body.hpp:109-116): shrink the top-k partition budget
+    topk = max(1, int(round(topk * min(max(performance, 0.0), 1.0))))
     plist = tuple(range(nparts))
     plist16 = tuple(range(min(nparts, 16)))
 
     alpha_pen = jnp.sum((pts[..., 3] - 255.0) ** 2, axis=-1)
+    combined_bar = _combined_alpha_bar(blocks, pts, colour_restrict,
+                                       alpha_restrict)
+
+    # ---- shared partition estimation: one vectorized pass per
+    # (subsets, channels) group, reused by every mode in the group
+    def _top_parts(p, subsets, pl, levels, k):
+        from .common import map_ids as _map_ids
+        est = _estimate_partitions_vec(p, subsets, pl, levels)
+        k = min(k, len(pl))
+        _, top = jax.lax.top_k(-est, k)
+        return _map_ids(top, pl)                             # (N,K)
+
+    cand = {}
+    if mode_mask & 0x0A:                                     # modes 1, 3
+        cand[1] = cand[3] = _top_parts(pts[..., :3], 2, plist, 8, topk)
+    if mode_mask & 0x80:                                     # mode 7
+        cand[7] = _top_parts(pts, 2, plist, 4, topk)
+    if mode_mask & 0x04:                                     # mode 2
+        cand[2] = _top_parts(pts[..., :3], 3, plist, 4, topk)
+    if mode_mask & 0x01:                                     # mode 0
+        # mode 0 has only 16 partitions: above the HIGHQUALITY threshold
+        # full-fit them all, exactly as the reference quantizes every
+        # partition before shaking the sorted best (bc7_body:582-709) —
+        # the estimator shortlist is a budget device, not part of the
+        # search contract
+        if quality > 0.75:
+            cand[0] = jnp.broadcast_to(
+                jnp.arange(len(plist16), dtype=I32)[None],
+                (n, len(plist16)))
+        else:
+            cand[0] = _top_parts(pts[..., :3], 3, plist16, 8, topk)
 
     errs = []
     words_list = []
@@ -561,22 +715,20 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
         if m.mode in (4, 5):
             err, wd = encode_dual_mode(pts, m, w, shake_rounds=shake,
                                        uber=uber)
-        elif m.alpha_bits:  # modes 6, 7
+        elif m.alpha_bits:  # modes 6, 7 (COMBINED_ALPHA)
             err, wd = encode_single_mode(
                 pts, m, jnp.asarray(w, F32),
                 plist16 if m.mode == 0 else plist, topk, iters,
-                shake_rounds=shake, uber=uber)
+                shake_rounds=shake, uber=uber,
+                cand_parts=cand.get(m.mode))
+            if mode_mask & ~0xC0:  # another mode exists to fall back on
+                err = jnp.where(combined_bar, jnp.inf, err)
         else:               # modes 0-3: opaque; charge true alpha error
-            # mode 0 has only 16 partitions: above the HIGHQUALITY
-            # threshold full-fit them all, exactly as the reference
-            # quantizes every partition before shaking the sorted best
-            # (amd_bc7_body.cpp:582-709) — the estimator shortlist is a
-            # budget device, not part of the search contract
-            topk_m = 16 if (m.mode == 0 and quality > 0.75) else topk
             err, wd = encode_single_mode(
                 pts[..., :3], m, jnp.asarray(w[:3], F32),
-                plist16 if m.mode == 0 else plist, topk_m, iters,
-                shake_rounds=shake, uber=uber)
+                plist16 if m.mode == 0 else plist, topk, iters,
+                shake_rounds=shake, uber=uber,
+                cand_parts=cand.get(m.mode))
             err = err + alpha_pen
         errs.append(err)
         words_list.append(wd)

@@ -208,28 +208,54 @@ def _wk_rows(idx, wtab):
     return wk
 
 
-def _quant_subset_rows(xs, m, mode, e0, e1):
-    """Quantize one subset's float endpoints under all pbit combos against
-    the exact palette (kernels/bc7_full.py _quant_subset analog).
+def _quant_ch_rows(e0, e1, mode, p0, p1):
+    """Quantize all channel rows under one (p0,p1) -> (q0s,q1s,d0s,d1s)."""
+    q0s, d0s, q1s, d1s = [], [], [], []
+    for c in range(len(e0)):
+        bits = mode.colour_bits if c < 3 else mode.alpha_bits
+        if p0 is None:
+            q0, d0 = _quant_plain(e0[c], bits)
+            q1, d1 = _quant_plain(e1[c], bits)
+        else:
+            q0, d0 = _quant_pbit(e0[c], bits, p0)
+            q1, d1 = _quant_pbit(e1[c], bits, p1)
+        q0s.append(q0)
+        d0s.append(d0)
+        q1s.append(q1)
+        d1s.append(d1)
+    return q0s, q1s, d0s, d1s
 
+
+def _quant_subset_rows(xs, m, mode, e0, e1, analytic: bool = False):
+    """Quantize one subset's float endpoints against the exact palette
+    (kernels/bc7_full.py _quant_subset analog).
+
+    ``analytic``: p-bits chosen by endpoint rounding error with ONE palette
+    evaluation (race path; the winner's shake re-races p-bits exactly).
     Returns (err (1,T), q0s, q1s lists, pb0, pb1 (1,T), idx (16,T))."""
-    nchan = len(xs)
     wtab = WT[mode.index_bits]
+    if analytic and mode.pbit_mode != "none":
+        e0c = [jnp.clip(e, 0.0, 255.0) for e in e0]
+        e1c = [jnp.clip(e, 0.0, 255.0) for e in e1]
+        combos = (((0, 0), (0, 1), (1, 0), (1, 1))
+                  if mode.pbit_mode == "per_endpoint" else ((0, 0), (1, 1)))
+        pick = None
+        for p0, p1 in combos:
+            q0s, q1s, d0s, d1s = _quant_ch_rows(e0c, e1c, mode, p0, p1)
+            perr = None
+            for c in range(len(e0)):
+                e = ((d0s[c].astype(F32) - e0c[c]) ** 2
+                     + (d1s[c].astype(F32) - e1c[c]) ** 2)
+                perr = e if perr is None else perr + e
+            z = jnp.zeros_like(perr, I32)
+            pick = _merge_tuple((perr, q0s, q1s, d0s, d1s, z + p0, z + p1),
+                                pick)
+        _, q0s, q1s, d0s, d1s, pb0, pb1 = pick
+        idx, err = _assign_exact(xs, d0s, d1s, wtab, False, mask=m)
+        return err, q0s, q1s, pb0, pb1, idx
     sbest = None
     for p0, p1 in _pbit_combos(mode):
-        q0s, d0s, q1s, d1s = [], [], [], []
-        for c in range(nchan):
-            bits = mode.colour_bits if c < 3 else mode.alpha_bits
-            if p0 is None:
-                q0, d0 = _quant_plain(e0[c], bits)
-                q1, d1 = _quant_plain(e1[c], bits)
-            else:
-                q0, d0 = _quant_pbit(e0[c], bits, p0)
-                q1, d1 = _quant_pbit(e1[c], bits, p1)
-            q0s.append(q0)
-            d0s.append(d0)
-            q1s.append(q1)
-            d1s.append(d1)
+        q0s, q1s, d0s, d1s = _quant_ch_rows(e0, e1, mode, p0, p1)
         idx, err = _assign_exact(xs, d0s, d1s, wtab, False, mask=m)
         z = jnp.zeros_like(err, I32)
         cand = (err, q0s, q1s, z + (p0 or 0), z + (p1 or 0), idx)
@@ -320,7 +346,7 @@ def _uber_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, uber: int):
                 lvl = jnp.where(vcat == k, l, lvl)
         e0v, e1v = _lsq_multi(xs, lvl, m, d0, d1)
         errv, q0v, q1v, p0v, p1v, idxv = _quant_subset_rows(
-            xs, m, mode, e0v, e1v)
+            xs, m, mode, e0v, e1v, analytic=True)
         cand = (errv, q0v, q1v, p0v, p1v, jnp.where(mi, idxv, idx))
         best = _merge_tuple(cand, best)
     return best
@@ -364,10 +390,7 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
             e0, e1 = _fit_masked(xs, mrows, levels, iters)
             m = jnp.concatenate(mrows, axis=0)
             err, q0s, q1s, pb0, pb1, idx = _quant_subset_rows(
-                xs, m, mode, e0, e1)
-            if shake:
-                err, q0s, q1s, pb0, pb1, idx = _shake_rows(
-                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err, shake)
+                xs, m, mode, e0, e1, analytic=True)
             errl.append(err)
             q0l.append(q0s)
             q1l.append(q1s)
@@ -385,10 +408,10 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
             take = cand["err"] < best["err"]
             best = _merge_dict(best, cand, take)
 
-    if uber:
-        # refine the winning partition's subsets only (the reference spends
-        # its shaker budget on the sorted-best partitions the same way,
-        # bc7_body:643-709)
+    if uber or shake:
+        # refine + shake the winning partition's subsets only (the
+        # reference spends its shaker budget on the sorted-best partitions
+        # the same way, bc7_body:643-709)
         part = best["part"]
         if s_count == 1:
             sub_of = [jnp.zeros_like(part) for _ in range(16)]
@@ -403,12 +426,15 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
         for s in range(s_count):
             mrows = [(r == s).astype(F32) for r in sub_of]
             m = jnp.concatenate(mrows, axis=0)
-            err_s, q0s, q1s, pb0, pb1, idx = _uber_rows(
-                xs, m, mode, best["q0"][s], best["q1"][s],
-                best["pb0"][s], best["pb1"][s], idx, best["errs"][s], uber)
+            err_s, q0s, q1s, pb0, pb1 = (best["errs"][s], best["q0"][s],
+                                         best["q1"][s], best["pb0"][s],
+                                         best["pb1"][s])
+            if uber:
+                err_s, q0s, q1s, pb0, pb1, idx = _uber_rows(
+                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, uber)
             if shake:
                 err_s, q0s, q1s, pb0, pb1, idx = _shake_rows(
-                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, 1,
+                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, shake,
                     srange=2 if shake >= 3 else 1)
             best["errs"][s] = err_s
             best["q0"][s] = q0s
@@ -551,20 +577,22 @@ class _SubMode:
         self.pbit_mode = pbit_mode
 
 
+# channel permutation per rotation (swap channel rot-1 with alpha)
+_ROT_PERMS = ((0, 1, 2, 3), (3, 1, 2, 0), (0, 3, 2, 1), (0, 1, 3, 2))
+
+
 def _dual_mode(xs, mode, iters, shake, uber):
     """Modes 4/5: rotation race x index-selection race x separate RGB +
     scalar alpha fits (CompressDualIndexBlock analog,
     amd_bc7_body.cpp:1059-1278, incl. the mode-4 indexSelection axis
-    :1099-1127), each followed by uber selector rounds and the shaker."""
+    :1099-1127); uber selector rounds and the shaker run on the
+    (rot, sel) winner only (kernels/bc7_full.py parity)."""
     best = None
     ones = [jnp.ones_like(xs[0][0:1]) for _ in range(16)]
     m_all = jnp.concatenate(ones, axis=0)
     zero = jnp.zeros_like(xs[0][0:1], I32)
     for rot in range(4):
-        perm = [0, 1, 2, 3]
-        if rot:
-            perm[rot - 1], perm[3] = perm[3], perm[rot - 1]
-        p_xs = [xs[i] for i in perm]
+        p_xs = [xs[i] for i in _ROT_PERMS[rot]]
         rgb, alpha = p_xs[:3], p_xs[3]
         for sel in range(1 << mode.index_mode_bits):
             cbits_idx = mode.index_bits2 if sel else mode.index_bits
@@ -573,35 +601,72 @@ def _dual_mode(xs, mode, iters, shake, uber):
             cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
             cerr, qc0, qc1, _, _, cidx = _quant_subset_rows(
                 rgb, m_all, cmode, e0, e1)
-            if uber:
-                cerr, qc0, qc1, _, _, cidx = _uber_rows(
-                    rgb, m_all, cmode, qc0, qc1, zero, zero, cidx, cerr,
-                    min(uber, 2))
-            if shake:
-                cerr, qc0, qc1, _, _, cidx = _shake_rows(
-                    rgb, m_all, cmode, qc0, qc1, zero, zero, cidx, cerr,
-                    shake)
             aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
                                                abits_idx, iters)
-            if shake:
-                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
-                aerr, qa0l, qa1l, _, _, aidx = _shake_rows(
-                    [alpha], m_all, amode, [qa0], [qa1], zero, zero,
-                    aidx, aerr, shake)
-                qa0, qa1 = qa0l[0], qa1l[0]
-            err = cerr + aerr
-            if sel:
-                f1idx, f2idx = aidx, cidx
-            else:
-                f1idx, f2idx = cidx, aidx
-            cand = dict(err=err, rot=zero + rot, sel=zero + sel,
+            cand = dict(err=cerr + aerr, cerr=cerr, aerr=aerr,
+                        rot=zero + rot, sel=zero + sel,
                         qc0=qc0, qc1=qc1, qa0=qa0, qa1=qa1,
-                        f1idx=f1idx, f2idx=f2idx)
+                        cidx=cidx, aidx=aidx)
             if best is None:
                 best = cand
             else:
                 take = cand["err"] < best["err"]
                 best = _merge_dict(best, cand, take)
+
+    if uber or shake:
+        # winner-only refinement: permute channel rows by the winning
+        # rotation (lane select), refine each static sel path, lane-select
+        rot = best["rot"]
+        rgb = [None] * 3
+        for c in range(4):
+            px = None
+            for r in range(4):
+                src = xs[_ROT_PERMS[r][c]]
+                px = src if px is None else jnp.where(rot == r, src, px)
+            if c < 3:
+                rgb[c] = px
+            else:
+                alpha = px
+        for sv in range(1 << mode.index_mode_bits):
+            in_sel = (best["sel"] == sv) if mode.index_mode_bits else None
+            cbits_idx = mode.index_bits2 if sv else mode.index_bits
+            abits_idx = mode.index_bits if sv else mode.index_bits2
+            cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
+            cerr_v, qc0v, qc1v, cidx_v = (best["cerr"], best["qc0"],
+                                          best["qc1"], best["cidx"])
+            if uber:
+                cerr_v, qc0v, qc1v, _, _, cidx_v = _uber_rows(
+                    rgb, m_all, cmode, qc0v, qc1v, zero, zero, cidx_v,
+                    cerr_v, min(uber, 2))
+            if shake:
+                cerr_v, qc0v, qc1v, _, _, cidx_v = _shake_rows(
+                    rgb, m_all, cmode, qc0v, qc1v, zero, zero, cidx_v,
+                    cerr_v, shake)
+                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
+                aerr_v, qa0l, qa1l, _, _, aidx_v = _shake_rows(
+                    [alpha], m_all, amode, [best["qa0"]], [best["qa1"]],
+                    zero, zero, best["aidx"], best["aerr"], shake)
+                qa0v, qa1v = qa0l[0], qa1l[0]
+            else:
+                aerr_v, qa0v, qa1v, aidx_v = (best["aerr"], best["qa0"],
+                                              best["qa1"], best["aidx"])
+            gain = (cerr_v + aerr_v) < best["err"]
+            tk = gain if in_sel is None else (in_sel & gain)
+            best["cerr"] = jnp.where(tk, cerr_v, best["cerr"])
+            best["aerr"] = jnp.where(tk, aerr_v, best["aerr"])
+            best["qc0"] = [jnp.where(tk, a, b)
+                           for a, b in zip(qc0v, best["qc0"])]
+            best["qc1"] = [jnp.where(tk, a, b)
+                           for a, b in zip(qc1v, best["qc1"])]
+            best["qa0"] = jnp.where(tk, qa0v, best["qa0"])
+            best["qa1"] = jnp.where(tk, qa1v, best["qa1"])
+            best["cidx"] = jnp.where(tk, cidx_v, best["cidx"])
+            best["aidx"] = jnp.where(tk, aidx_v, best["aidx"])
+            best["err"] = best["cerr"] + best["aerr"]
+
+    sel1 = best["sel"] == 1
+    best["f1idx"] = jnp.where(sel1, best["aidx"], best["cidx"])
+    best["f2idx"] = jnp.where(sel1, best["cidx"], best["aidx"])
     return best
 
 
@@ -770,9 +835,14 @@ def _mode_kernel(x_ref, *refs, mode, quality, nparts_k,
 
 
 @partial(jax.jit, static_argnames=("quality", "mode_mask", "tile",
+                                  "colour_restrict", "alpha_restrict",
+                                  "performance",
                                   "_plist", "_topk", "_shake", "_uber"))
 def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
                              mode_mask: int = 0xFF, tile: int = TILE,
+                             colour_restrict: bool = True,
+                             alpha_restrict: bool = True,
+                             performance: float = 1.0,
                              _plist=None, _topk=None, _shake=None,
                              _uber=None):
     """(N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err)."""
@@ -789,18 +859,23 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
     # ---- shared partition estimation (one vectorized XLA pass per
     # (subsets, channels) group, reused by every mode in the group —
     # VERDICT r1 item 4; mirrors the reference's estimate-once structure)
-    from .bc7_full import _estimate_partitions_vec
+    from .bc7_full import _combined_alpha_bar, _estimate_partitions_vec
     nparts, topk, _, _, _ = _budgets(quality)
+    topk = max(1, int(round(topk * min(max(performance, 0.0), 1.0))))
     if _topk:
         topk = _topk
     pts255 = x * 255.0
+    # COMBINED_ALPHA restrictions (bc7_body:1312-1380) as err masking
+    bar = _combined_alpha_bar(x, pts255, colour_restrict, alpha_restrict)
+    bar = bar[None, :]                                 # (1,total)
 
     def _top_rows(chans, subsets, plist, levels, k):
+        from .common import map_ids as _map_ids
         est = _estimate_partitions_vec(pts255[..., :chans], subsets,
                                        plist, levels)
         k = min(k, len(plist))
         _, top = jax.lax.top_k(-est, k)
-        return jnp.asarray(plist, I32)[top].T, k       # (K,total)
+        return _map_ids(top, plist).T, k               # (K,total)
 
     plist_full = _plist or tuple(range(nparts))
     plist16 = _plist or tuple(range(min(nparts, 16)))
@@ -845,6 +920,8 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
             interpret=interpret,
         )(*inputs)
         err = outs[4]
+        if m.mode in (6, 7) and (mode_mask & ~0xC0):
+            err = jnp.where(bar, jnp.float32(3.4e38), err)
         if best_err is None:
             best_err = err
             best_cols = list(outs[:4])

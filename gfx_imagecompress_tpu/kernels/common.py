@@ -189,3 +189,20 @@ def fit_line_iterative(pts, mask, levels, iters: int, chan_weights):
         _, alphas, _ = assign_levels(pts, e0, e1, levels, chan_weights, mask)
         e0, e1 = lsq_refit(pts, mask, alphas, e0, e1)
     return e0, e1
+
+
+def map_ids(top, plist):
+    """Map top-k slot indices to static partition ids WITHOUT a gather.
+
+    XLA gathers run on the TPU scalar core (a 256-entry table lookup cost
+    more than an entire fused encode kernel, measured r3); a select chain
+    over a <=64-entry static list is pure vector-unit elementwise work.
+    Identity when ``plist`` is contiguous from 0.
+    """
+    if tuple(plist) == tuple(range(len(plist))):
+        return top
+    out = jnp.zeros_like(top)
+    for j, p in enumerate(plist):
+        if p:
+            out = jnp.where(top == j, p, out)
+    return out

@@ -20,11 +20,14 @@ TPU framework can be compared against the reference algorithm's quality:
   (amd_bc7_body.cpp:333-538, 902-1056).
 
 Notes on fidelity:
-- At the reference image driver's hardwired settings (quality=1.0,
-  performance=1.0; amd_bc7_compressor.cpp:58-65) ``m_quantizerRangeThreshold``
-  is 255, so ``optQuantAnD_d`` is *always* selected over the 640 MB
-  trace-table quantizer (amd_bc7_body.cpp:606-630); the trace path is
-  therefore deliberately not implemented.
+- At the reference image driver's hardwired performance=1.0
+  (amd_bc7_compressor.cpp:58-65) ``m_quantizerRangeThreshold`` is 255, so
+  ``optQuantAnD_d`` is *always* selected over the 640 MB trace-table
+  quantizer: the gate is ``blockMaxRange <= 255*performance``
+  (amd_bc7_body.cpp:606-630), which depends on PERFORMANCE only — it holds
+  at every quality level (verified r3 for the q=0.3/0.6 matrix rows; the
+  hpp ctor sets the threshold from m_performance, amd_bc7_body.hpp:116).
+  The trace path is therefore deliberately not implemented.
 - The quality->budget mapping replicates the ctor exactly
   (amd_bc7_body.hpp:108-148; thresholds amd_bc7_body.cpp:258-262).
 - All math is float64, matching the reference's doubles.

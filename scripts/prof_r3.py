@@ -73,6 +73,128 @@ def main():
         bh = image_to_blocks(jnp.asarray(hdr[None]))
         dt = marginal(partial(enc, signed=False), bh, n_lo=1, n_hi=3)
         print(f"bc6h uf default: {texels/dt/1e6:.1f} Mtexel/s")
+    elif which == "bc7fast_parts":
+        import jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from gfx_imagecompress_tpu.kernels import bc7_fast_pallas as K
+
+        x = image_to_blocks(jnp.asarray(photo(1024, 1024)[None]))
+        n = x.shape[0]
+        tile = 256
+        xt = x.transpose(2, 1, 0).reshape(64, n)
+        solid = K._solid_inputs(x)
+        F32, I32, U32 = K.F32, K.I32, K.U32
+
+        def run_variant(name, body):
+            def kern(x_ref, solid_ref, w0, w1, w2, w3, err_ref):
+                xs = [x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+                      for c in range(4)]
+                ms = K._to_metric_rows(xs, False)
+                sr = [solid_ref[c:c + 1, :] for c in range(7)]
+                cols, err = body(xs, ms, sr)
+                w0[:] = cols[0]
+                w1[:] = cols[1]
+                w2[:] = cols[2]
+                w3[:] = cols[3]
+                err_ref[:] = err
+
+            @jax.jit
+            def enc(xx):
+                xxt = xx.transpose(2, 1, 0).reshape(64, xx.shape[0])
+                sol = K._solid_inputs(xx)
+                outs = pl.pallas_call(
+                    kern, grid=(xx.shape[0] // tile,),
+                    in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM),
+                              pl.BlockSpec((7, tile), lambda i: (0, i),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=tuple(
+                        pl.BlockSpec((1, tile), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(5)),
+                    out_shape=tuple(
+                        [jax.ShapeDtypeStruct((1, xx.shape[0]), U32)] * 4
+                        + [jax.ShapeDtypeStruct((1, xx.shape[0]), F32)]),
+                )(xxt, sol)
+                return jnp.stack([o[0] for o in outs[:4]], 1), outs[4][0]
+
+            dt = marginal(enc, x, n_lo=1, n_hi=3)
+            print(f"bc7fast_part {name}: {1024*1024/dt/1e6:.1f} Mtexel/s"
+                  f" ({dt*1e3:.2f} ms)")
+
+        def mode6_only(xs, ms, sr):
+            st6 = K._mode6(xs, ms, False, 0)
+            return K._pack_mode6(st6), st6["err"]
+
+        def mode1_only(xs, ms, sr):
+            st1 = K._mode1(xs[:3], ms[:3], False, K.FAST_PARTITIONS, 2, 0,
+                           None)
+            return K._pack_mode1(st1), st1["err"]
+
+        def mode1_noest(xs, ms, sr):
+            zero = jnp.zeros_like(xs[0][0:1], K.I32)
+            st1 = K._mode1(xs[:3], ms[:3], False, K.FAST_PARTITIONS, 2, 0,
+                           None, part_ids=[zero, zero + 1])
+            return K._pack_mode1(st1), st1["err"]
+
+        def solid_only(xs, ms, sr):
+            st = K._solid_candidate(ms[:3], False, sr)
+            st["sub"] = [r + jnp.zeros_like(st["pid"]) for r in st["sub"]]
+            return K._pack_mode1(st), st["err"]
+
+        def nearly_empty(xs, ms, sr):
+            z = jnp.zeros_like(xs[0][0:1], U32)
+            return [z, z, z, z], xs[0][0:1] + xs[1][0:1]
+
+        run_variant("nearly empty kernel", nearly_empty)
+        run_variant("mode6 only", mode6_only)
+        run_variant("mode1 only(est24+k2)", mode1_only)
+        run_variant("mode1 only(fixed 2 parts)", mode1_noest)
+        run_variant("solid only", solid_only)
+
+        @jax.jit
+        def just_transform(xx):
+            xxt = xx.transpose(2, 1, 0).reshape(64, xx.shape[0])
+            sol = K._solid_inputs(xx)
+            return jnp.sum(xxt.astype(jnp.float32)) + jnp.sum(sol)
+
+        dt = marginal(just_transform, x, n_lo=1, n_hi=3)
+        print(f"bc7fast_part transpose+solid XLA only: {dt*1e3:.2f} ms")
+
+        @jax.jit
+        def just_transpose(xx):
+            xxt = xx.transpose(2, 1, 0).reshape(64, xx.shape[0])
+            return jnp.sum(xxt.astype(jnp.float32))
+
+        dt = marginal(just_transpose, x, n_lo=1, n_hi=3)
+        print(f"bc7fast_part transpose XLA only: {dt*1e3:.2f} ms")
+    elif which.startswith("bc7full"):
+        from gfx_imagecompress_tpu.kernels.bc7_full_pallas import (
+            encode_bc7_blocks_pallas as enc)
+        b512 = image_to_blocks(jnp.asarray(photo(512, 512)[None]))
+        tex = 512 * 512
+        variants = {
+            "all": dict(),
+            "m1": dict(mode_mask=0x02),
+            "m6": dict(mode_mask=0x40),
+            "m0": dict(mode_mask=0x01),
+            "m2": dict(mode_mask=0x04),
+            "m3": dict(mode_mask=0x08),
+            "m7": dict(mode_mask=0x80),
+            "m4": dict(mode_mask=0x10),
+            "m5": dict(mode_mask=0x20),
+            "shake0": dict(_shake=0),
+            "uber0": dict(_uber=0),
+            "topk2": dict(_topk=2),
+        }
+        sel = which.split(":", 1)[1].split(",") if ":" in which \
+            else list(variants)
+        for name in sel:
+            kw = variants[name]
+            dt = marginal(partial(enc, **kw), b512, n_lo=1, n_hi=2)
+            print(f"bc7full {name}: {tex/dt/1e6:.2f} Mtexel/s"
+                  f"  ({dt*1e3:.1f} ms)", flush=True)
     elif which == "bc1":
         from gfx_imagecompress_tpu.kernels.bc1_pallas import (
             encode_bc1_blocks_pallas as enc)

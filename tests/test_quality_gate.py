@@ -1,6 +1,6 @@
 """CI-style quality gate: framework PSNR >= reference algorithm PSNR.
 
-The full 11-config matrix (quality_results.json) runs via
+The full 13-config matrix (quality_results.json) runs via
 ``python -m gfx_imagecompress_tpu.bench_quality``; its reference side is
 cached in refcpu/baseline_cache.json. This test asserts the gate on the
 rows whose framework side is cheap to encode (the max-quality BC7/BC6H
