@@ -123,13 +123,15 @@ def _fit_ramp(vals, weights, interp_slots: int, iters: int,
 
 def _sweep(vals, a0, a1, radius: int, eight: bool, rounds: int):
     """Joint (a0, a1) hill climb; error-only inner loop (indices are
-    requantized once for the final winner in :func:`_bc4_search`)."""
+    requantized once for the final winner in :func:`_bc4_search`).
+    Rounds after the first use radius 1 (kernels/bc4.py parity)."""
     best_a0, best_a1 = a0, a1
     best = _assign_err(vals, _palette(a0, a1, eight))
-    for _ in range(rounds):
+    for r in range(rounds):
+        rad = radius if r == 0 else 1
         c_a0, c_a1 = best_a0, best_a1
-        for d0 in range(-radius, radius + 1):
-            for d1 in range(-radius, radius + 1):
+        for d0 in range(-rad, rad + 1):
+            for d1 in range(-rad, rad + 1):
                 if d0 == 0 and d1 == 0:
                     continue
                 c0 = jnp.clip(c_a0 + d0, 0, 255)
@@ -200,38 +202,38 @@ def _bc4_search(vals, iters, radius, rounds):
     vmax = jnp.clip(jnp.round(jnp.max(vals, axis=0, keepdims=True)),
                     0, 255).astype(I32)
 
-    # ---- 8-point mode (a0 > a1)
+    # ---- 8-point mode (a0 > a1): seed race, sweep the winner once
+    # (kernels/bc4.py parity)
     e0, e1 = _fit_ramp(vals, W8, 8, iters, False)
     hi = jnp.clip(jnp.round(jnp.maximum(e0, e1)), 0, 255).astype(I32)
     lo = jnp.clip(jnp.round(jnp.minimum(e0, e1)), 0, 255).astype(I32)
     hi8 = jnp.where(hi > lo, hi, jnp.minimum(hi + 1, 255))
-    r8 = _sweep(vals, hi8, lo, radius, True, rounds)
     vmax8 = jnp.where(vmax > vmin, vmax, jnp.minimum(vmax + 1, 255))
-    r8b = _sweep(vals, vmax8, vmin, radius, True, rounds)
-    a0_8, a1_8, err8 = _best_of(r8, r8b)
+    e_fit = _assign_err(vals, _palette(hi8, lo, True))
+    e_mm = _assign_err(vals, _palette(vmax8, vmin, True))
+    mm = e_mm < e_fit
+    s0 = jnp.where(mm, vmax8, hi8)
+    s1 = jnp.where(mm, vmin, lo)
+    a0_8, a1_8, err8 = _sweep(vals, s0, s1, radius, True, rounds)
 
-    # ---- 6-point mode (a0 <= a1, literal 0/255 slots)
+    # ---- 6-point mode (a0 <= a1, literal 0/255 slots): LSQ seed races the
+    # trimmed-interval seeds, one sweep from the winner
     e0, e1 = _fit_ramp(vals, W6, 6, iters, True)
     lo6 = jnp.clip(jnp.round(jnp.minimum(e0, e1)), 0, 255).astype(I32)
     hi6 = jnp.clip(jnp.round(jnp.maximum(e0, e1)), 0, 255).astype(I32)
-    r6 = _sweep(vals, lo6, hi6, radius, False, rounds)
     sv = _sorted_rows(vals)
-    seed = None
+    seed = (lo6, hi6, _assign_err(vals, _palette(lo6, hi6, False)))
     for i in (0, 1, 2):
         for j in (0, 1, 2):
             s0 = jnp.clip(jnp.round(sv[i]), 0, 255).astype(I32)
             s1 = jnp.clip(jnp.round(sv[15 - j]), 0, 255).astype(I32)
             s1 = jnp.maximum(s1, s0)
             e = _assign_err(vals, _palette(s0, s1, False))
-            if seed is None:
-                seed = (s0, s1, e)
-            else:
-                take = e < seed[2]
-                seed = (jnp.where(take, s0, seed[0]),
-                        jnp.where(take, s1, seed[1]),
-                        jnp.where(take, e, seed[2]))
-    r6b = _sweep(vals, seed[0], seed[1], radius, False, rounds)
-    a0_6, a1_6, err6 = _best_of(r6, r6b)
+            take = e < seed[2]
+            seed = (jnp.where(take, s0, seed[0]),
+                    jnp.where(take, s1, seed[1]),
+                    jnp.where(take, e, seed[2]))
+    a0_6, a1_6, err6 = _sweep(vals, seed[0], seed[1], radius, False, rounds)
 
     use8 = err8 <= err6
     a0 = jnp.where(use8, a0_8, a0_6)
