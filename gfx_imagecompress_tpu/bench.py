@@ -71,6 +71,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache (same store the test suite uses): the
+    # BC7-full max-quality graph alone compiles for ~5 min cold, which
+    # would eat most of the driver's bench budget every round.
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     deadline = time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", 460))
 
     def time_left():

@@ -178,7 +178,9 @@ def fw_encode(codec, opts, blocks, pallas=False):
 
 def config_matrix(fast=False):
     """Rows: (name, codec, corpus_kind, ref_opts, fw_opts, decode)."""
-    n, size = (2, 32) if fast else (4, 64)
+    # heavy rows ride 4k blocks (16 images): 1k was within shot-noise of
+    # corpus choice for a 0.03 dB delta (VERDICT r2 weak 7)
+    n, size = (2, 32) if fast else (16, 64)
     nb, sb = (4, 64) if fast else (8, 128)      # big corpus for cheap codecs
     rows = [
         ("bc1", "bc1", (nb, sb, "opaque"), {}, {}, "bc1"),
@@ -240,7 +242,8 @@ def _cfg_key(name, corpus_cfg, opts):
     return f"{name}:{h}"
 
 
-def run(fast=False, refresh=False, only=None, procs=None, pallas=False):
+def run(fast=False, refresh=False, only=None, procs=None, pallas=False,
+        ref_only=False):
     cache = {}
     if os.path.exists(_CACHE_PATH):
         with open(_CACHE_PATH) as f:
@@ -260,6 +263,10 @@ def run(fast=False, refresh=False, only=None, procs=None, pallas=False):
             ref_psnr = float(_decode_psnr(dec_kind, w_ref, blocks))
             cache[key] = ref_psnr
             dirty = True
+        if ref_only:
+            print(f"{name:16s} ref {ref_psnr:7.3f}  (ref-only)",
+                  file=sys.stderr)
+            continue
         w_fw = fw_encode(codec, fw_opts, blocks, pallas=pallas)
         fw_psnr = float(_decode_psnr(dec_kind, w_fw, blocks))
         delta = fw_psnr - ref_psnr
@@ -275,7 +282,7 @@ def run(fast=False, refresh=False, only=None, procs=None, pallas=False):
     if dirty:
         with open(_CACHE_PATH, "w") as f:
             json.dump(cache, f, indent=1, sort_keys=True)
-    if not only:
+    if not only and not ref_only:
         # partial (--only) runs must not clobber the full-matrix artifact;
         # the Pallas (shipping-path) matrix goes to its own artifact
         out = ("quality_results_pallas.json" if pallas
@@ -297,9 +304,11 @@ def main():
     ap.add_argument("--procs", type=int)
     ap.add_argument("--pallas", action="store_true",
                     help="gate the fused Pallas kernels (the api.py path)")
+    ap.add_argument("--ref-only", action="store_true",
+                    help="only (re)compute + cache the reference side")
     a = ap.parse_args()
     run(fast=a.fast, refresh=a.refresh, only=a.only, procs=a.procs,
-        pallas=a.pallas)
+        pallas=a.pallas, ref_only=a.ref_only)
 
 
 if __name__ == "__main__":

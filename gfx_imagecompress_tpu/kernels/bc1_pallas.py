@@ -37,7 +37,9 @@ U32 = jnp.uint32
 LEVELS4 = (0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0)
 LEVELS3 = (0.0, 0.5, 1.0)
 _EPS = 1e-8
-TILE = 512
+SUB = 8          # sublane dim of the per-block tile
+LANE = 128
+TILE = SUB * LANE    # blocks per grid step ((8,128) native f32 vreg tile)
 
 
 def _expand_q(qr, qg, qb):
@@ -478,9 +480,9 @@ def _pack_bc1(a0, a1, pidx):
 def _bc1_kernel(x_ref, w0_ref, w1_ref, err_ref, *, weights, iters, passes,
                 allow_three, use_alpha=False, athr=0.5, adaptive=False,
                 b3d=False):
-    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+    xs = tuple(x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
                for c in range(3))
-    av = (x_ref[48:64, :].astype(F32) * 255.0) if use_alpha else None
+    av = (x_ref[48:64, 0].astype(F32) * 255.0) if use_alpha else None
     a0, a1, pidx, err = _bc1_search(
         xs, av, weights=weights, iters=iters, passes=passes,
         allow_three=allow_three, use_alpha=use_alpha, athr=athr,
@@ -512,6 +514,9 @@ def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
     :269-270)."""
     n = blocks.shape[0]
     nchan = 4 if use_alpha else 3
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = blocks[..., :nchan].astype(F32)
     if use_alpha and x.shape[-1] < 4:
@@ -520,10 +525,9 @@ def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
         pad = jnp.ones((npad, 16, nchan), F32)
         x = jnp.concatenate([x, pad], axis=0)
     total = x.shape[0]
-    # (N,16,C) -> rows c*16+p: (16C, N)
-    xt = x.transpose(2, 1, 0).reshape(16 * nchan, total)
-
     grid = total // tile
+    # (N,16,C) -> rows c*16+p, block axis split over (sublane, lane)
+    xt = x.transpose(2, 1, 0).reshape(16 * nchan, grid, sub, lane)
     kern = partial(_bc1_kernel, weights=weights, iters=iters, passes=passes,
                    allow_three=allow_three, use_alpha=use_alpha,
                    athr=alpha_threshold, adaptive=adaptive, b3d=b3d)
@@ -532,25 +536,21 @@ def encode_bc1_blocks_pallas(blocks: jnp.ndarray,
     w0, w1, err = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((16 * nchan, tile), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((16 * nchan, 1, sub, lane),
+                               lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(3)),
         out_shape=(
-            jax.ShapeDtypeStruct((1, total), U32),
-            jax.ShapeDtypeStruct((1, total), U32),
-            jax.ShapeDtypeStruct((1, total), F32),
+            jax.ShapeDtypeStruct((grid, sub, lane), U32),
+            jax.ShapeDtypeStruct((grid, sub, lane), U32),
+            jax.ShapeDtypeStruct((grid, sub, lane), F32),
         ),
         interpret=interpret,
     )(xt)
-    words = jnp.stack([w0[0, :n], w1[0, :n]], axis=1)
-    return words, err[0, :n]
+    words = jnp.stack([w0.reshape(total)[:n], w1.reshape(total)[:n]], axis=1)
+    return words, err.reshape(total)[:n]
 
 
 # ------------------------------------------------------- fused BC2 / BC3 ---
@@ -562,9 +562,9 @@ def _bc3_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
     sharing the block loads (the reference driver is one pass per block,
     amd_bc3_compressor.cpp:41-46). Word order: alpha pair then colour pair."""
     from .bc4_pallas import _bc4_search, _pack_dxt5
-    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+    xs = tuple(x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
                for c in range(3))
-    av = x_ref[48:64, :].astype(F32) * 255.0
+    av = x_ref[48:64, 0].astype(F32) * 255.0
     a0, a1, pidx, cerr = _bc1_search(
         xs, None, weights=weights, iters=iters, passes=passes,
         allow_three=False, adaptive=adaptive)
@@ -583,9 +583,9 @@ def _bc2_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
     """Fused BC2: explicit 4-bit alpha + 4-colour block in one program
     (amd_bc2_compressor.cpp:41-46; alpha rounding of
     amd_bcx_helpers.cpp:107-123 reproduced exactly)."""
-    xs = tuple(x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+    xs = tuple(x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
                for c in range(3))
-    av = x_ref[48:64, :].astype(F32) * 255.0
+    av = x_ref[48:64, 0].astype(F32) * 255.0
     a0, a1, pidx, cerr = _bc1_search(
         xs, None, weights=weights, iters=iters, passes=passes,
         allow_three=False, adaptive=adaptive)
@@ -609,6 +609,9 @@ def _bc2_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
 def _fused_alpha_entry(kern_builder, blocks, tile):
     """Shared wrapper for the 4-word fused BC2/BC3 kernels."""
     n = blocks.shape[0]
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = blocks[..., :4].astype(F32)
     if x.shape[-1] < 4:
@@ -616,23 +619,24 @@ def _fused_alpha_entry(kern_builder, blocks, tile):
     if npad:
         x = jnp.concatenate([x, jnp.ones((npad, 16, 4), F32)], axis=0)
     total = x.shape[0]
-    xt = x.transpose(2, 1, 0).reshape(64, total)
+    grid = total // tile
+    xt = x.transpose(2, 1, 0).reshape(64, grid, sub, lane)
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern_builder,
-        grid=(total // tile,),
-        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((64, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((1, total), U32)] * 4
-            + [jax.ShapeDtypeStruct((1, total), F32)]),
+            [jax.ShapeDtypeStruct((grid, sub, lane), U32)] * 4
+            + [jax.ShapeDtypeStruct((grid, sub, lane), F32)]),
         interpret=interpret,
     )(xt)
-    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
-    return words, outs[4][0, :n]
+    words = jnp.stack([o.reshape(total)[:n] for o in outs[:4]], axis=1)
+    return words, outs[4].reshape(total)[:n]
 
 
 @partial(jax.jit, static_argnames=("weights", "iters", "passes", "adaptive",

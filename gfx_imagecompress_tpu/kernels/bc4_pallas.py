@@ -20,7 +20,9 @@ F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 
-TILE = 512
+SUB = 8          # sublane dim of the per-block tile
+LANE = 128
+TILE = SUB * LANE    # blocks per grid step ((8,128) native f32 vreg tile)
 W8 = (0.0, 1.0, 1 / 7, 2 / 7, 3 / 7, 4 / 7, 5 / 7, 6 / 7)
 W6 = (0.0, 1.0, 1 / 5, 2 / 5, 3 / 5, 4 / 5)
 
@@ -261,7 +263,7 @@ def _pack_dxt5(a0, a1, idx):
 
 
 def _bc4_kernel(x_ref, w0_ref, w1_ref, err_ref, *, iters, radius, rounds):
-    vals = x_ref[:].astype(F32) * 255.0                   # (16,T)
+    vals = x_ref[:, 0].astype(F32) * 255.0                # (16,SUB,LANE)
     a0, a1, idx, err = _bc4_search(vals, iters, radius, rounds)
     w0, w1 = _pack_dxt5(a0, a1, idx)
     w0_ref[:] = w0
@@ -274,8 +276,8 @@ def _bc5_kernel(x_ref, w0_ref, w1_ref, w2_ref, w3_ref, err_ref, *,
     """Fused BC5: both channels' scalar searches in ONE program sharing the
     block loads (the reference's driver is one pass per block over two
     channels, amd_bc5_compressor.cpp:35-41)."""
-    r = x_ref[0:16, :].astype(F32) * 255.0
-    g = x_ref[16:32, :].astype(F32) * 255.0
+    r = x_ref[0:16, 0].astype(F32) * 255.0
+    g = x_ref[16:32, 0].astype(F32) * 255.0
     a0r, a1r, idxr, errr = _bc4_search(r, iters, radius, rounds)
     a0g, a1g, idxg, errg = _bc4_search(g, iters, radius, rounds)
     w0, w1 = _pack_dxt5(a0r, a1r, idxr)
@@ -293,37 +295,35 @@ def encode_bc4_blocks_pallas(vals01: jnp.ndarray, *, iters: int = 3,
                              tile: int = TILE):
     """(N,16) float scalar blocks in [0,1] -> ((N,2) uint32, (N,) err)."""
     n = vals01.shape[0]
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = vals01.astype(F32)
     if npad:
         x = jnp.concatenate([x, jnp.zeros((npad, 16), F32)], axis=0)
     total = x.shape[0]
-    xt = x.T                                               # (16, total)
     grid = total // tile
+    xt = x.T.reshape(16, grid, sub, lane)
     kern = partial(_bc4_kernel, iters=iters, radius=radius, rounds=rounds)
     interpret = jax.default_backend() == "cpu"
     w0, w1, err = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((16, tile), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((16, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(3)),
         out_shape=(
-            jax.ShapeDtypeStruct((1, total), U32),
-            jax.ShapeDtypeStruct((1, total), U32),
-            jax.ShapeDtypeStruct((1, total), F32),
+            jax.ShapeDtypeStruct((grid, sub, lane), U32),
+            jax.ShapeDtypeStruct((grid, sub, lane), U32),
+            jax.ShapeDtypeStruct((grid, sub, lane), F32),
         ),
         interpret=interpret,
     )(xt)
-    words = jnp.stack([w0[0, :n], w1[0, :n]], axis=1)
-    return words, err[0, :n]
+    words = jnp.stack([w0.reshape(total)[:n], w1.reshape(total)[:n]], axis=1)
+    return words, err.reshape(total)[:n]
 
 
 @partial(jax.jit, static_argnames=("iters", "radius", "rounds", "tile"))
@@ -336,27 +336,30 @@ def encode_bc5_blocks_pallas(blocks: jnp.ndarray, *, iters: int = 3,
     sharing the VMEM-resident loads — vs two independent BC4 launches.
     """
     n = blocks.shape[0]
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = blocks[..., :2].astype(F32)
     if npad:
         x = jnp.concatenate([x, jnp.zeros((npad, 16, 2), F32)], axis=0)
     total = x.shape[0]
-    xt = x.transpose(2, 1, 0).reshape(32, total)
     grid = total // tile
+    xt = x.transpose(2, 1, 0).reshape(32, grid, sub, lane)
     kern = partial(_bc5_kernel, iters=iters, radius=radius, rounds=rounds)
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((32, tile), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((32, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((1, total), U32)] * 4
-            + [jax.ShapeDtypeStruct((1, total), F32)]),
+            [jax.ShapeDtypeStruct((grid, sub, lane), U32)] * 4
+            + [jax.ShapeDtypeStruct((grid, sub, lane), F32)]),
         interpret=interpret,
     )(xt)
-    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
-    return words, outs[4][0, :n]
+    words = jnp.stack([o.reshape(total)[:n] for o in outs[:4]], axis=1)
+    return words, outs[4].reshape(total)[:n]

@@ -26,7 +26,9 @@ F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 
-TILE = 256
+SUB = 8          # sublane dim of the per-block tile
+LANE = 128
+TILE = SUB * LANE    # blocks per grid step ((8,128) native f32 vreg tile)
 LV3 = tuple(w / 64.0 for w in WEIGHTS3)
 LV4 = tuple(w / 64.0 for w in WEIGHTS4)
 _EPS = 1e-8
@@ -472,8 +474,10 @@ def _shake_best_rows(h, best, modes, signed, rounds, regions):
 
 def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
                  iters, shake, mode_mask):
-    h = [h_ref[16 * c:16 * (c + 1), :] for c in range(3)]
-    us = [u_ref[16 * c:16 * (c + 1), :] for c in range(3)]
+    # 3D lane layout: per-block rows are full (1,SUB,LANE) vregs and
+    # pixel-axis reductions are elementwise vreg adds (r4 layout change)
+    h = [h_ref[16 * c:16 * (c + 1), 0] for c in range(3)]
+    us = [u_ref[16 * c:16 * (c + 1), 0] for c in range(3)]
 
     ests = _estimate_shapes(us)
     shape_ids = _topk_ids(ests, topk)
@@ -593,33 +597,37 @@ def encode_bc6h_blocks_pallas(blocks: jnp.ndarray, *, signed: bool = False,
                               tile: int = TILE):
     """(N,16,3) float32 HDR blocks -> ((N,4) uint32, (N,) err)."""
     n = blocks.shape[0]
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = blocks[..., :3].astype(F32)
     if npad:
         x = jnp.concatenate([x, jnp.zeros((npad, 16, 3), F32)], axis=0)
     total = x.shape[0]
+    grid_n = total // tile
     h = f32_to_half_int(x, signed)                  # (total,16,3) int32
     u = _to_work(h, signed)                         # f32
-    ht = h.transpose(2, 1, 0).reshape(48, total)
-    ut = u.transpose(2, 1, 0).reshape(48, total)
+    ht = h.transpose(2, 1, 0).reshape(48, grid_n, sub, lane)
+    ut = u.transpose(2, 1, 0).reshape(48, grid_n, sub, lane)
     topk, iters, shake = _budgets(quality)
     kern = partial(_bc6h_kernel, signed=signed, topk=topk, iters=iters,
                    shake=shake, mode_mask=mode_mask)
     interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern,
-        grid=(total // tile,),
-        in_specs=[pl.BlockSpec((48, tile), lambda i: (0, i),
+        grid=(grid_n,),
+        in_specs=[pl.BlockSpec((48, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((48, tile), lambda i: (0, i),
+                  pl.BlockSpec((48, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((1, total), U32)] * 4
-            + [jax.ShapeDtypeStruct((1, total), F32)]),
+            [jax.ShapeDtypeStruct((grid_n, sub, lane), U32)] * 4
+            + [jax.ShapeDtypeStruct((grid_n, sub, lane), F32)]),
         interpret=interpret,
     )(ht, ut)
-    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
-    return words, outs[4][0, :n]
+    words = jnp.stack([o.reshape(total)[:n] for o in outs[:4]], axis=1)
+    return words, outs[4].reshape(total)[:n]

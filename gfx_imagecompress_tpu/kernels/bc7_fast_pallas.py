@@ -38,13 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..tables.bc7_tables import ANCHOR2, P2, WEIGHTS3, WEIGHTS4
 from .bc7_fast import (FAST_PARTITIONS, PERCEP_W, _YCBCR_M,
                        _mode1_solid_table)
-from .common import map_ids as _map_ids
 
 F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 
-TILE = 256
+SUB = 8          # sublane dim of the per-block tile
+LANE = 128
+TILE = SUB * LANE    # blocks per grid step ((8,128) native f32 vreg tile)
 LV4 = tuple(w / 64.0 for w in WEIGHTS4)
 LV3 = tuple(w / 64.0 for w in WEIGHTS3)
 _EPS = 1e-8
@@ -691,12 +692,12 @@ def _pack_mode1(st):
 def _bc7fast_kernel(x_ref, solid_ref, parts_ref, w0, w1, w2, w3, err_ref, *,
                     perceptual, fast, nparts_k, plist_override=None,
                     topk_override=None, uber_override=None):
-    xs = [x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+    xs = [x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
           for c in range(4)]
     has_alpha = jnp.min(xs[3], axis=0, keepdims=True) < 254.999
     ms = _to_metric_rows(xs, perceptual)
-    solid_rows = [solid_ref[c:c + 1, :] for c in range(7)]
-    part_ids = [parts_ref[k:k + 1, :] for k in range(nparts_k)]
+    solid_rows = [solid_ref[c:c + 1, 0] for c in range(7)]
+    part_ids = [parts_ref[k:k + 1, 0] for k in range(nparts_k)]
 
     uber = (0 if fast else 4) if uber_override is None else uber_override
     st6 = _mode6(xs, ms, perceptual, uber)
@@ -753,48 +754,49 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
                                   _plist=None, _topk=None, _uber=None):
     """(N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err)."""
     n = blocks.shape[0]
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = blocks[..., :4].astype(F32)
     if npad:
         pad = jnp.zeros((npad, 16, 4), F32).at[..., 3].set(1.0)
         x = jnp.concatenate([x, pad], axis=0)
     total = x.shape[0]
-    xt = x.transpose(2, 1, 0).reshape(64, total)
-    solid = _solid_inputs(x)
+    grid = total // tile
+    xt = x.transpose(2, 1, 0).reshape(64, grid, sub, lane)
+    solid = _solid_inputs(x).reshape(7, grid, sub, lane)
 
-    # ---- mode-1 partition estimation in XLA (einsum -> MXU), top-k ids
-    # fed to the kernel as lane rows — the bounds-axis sweep over the
-    # shortlist costs ~40% of the fused kernel when done per-lane on the
-    # VPU (measured on-chip r3); the kernel keeps only the exact fits
-    from .bc7_fast import _estimate_partitions
+    # ---- mode-1 partition estimation + top-k as a Pallas pass (the XLA
+    # sweep materialized (N,16,3) intermediates per partition in HBM and
+    # dominated the encode; in-kernel it stays in VMEM — measured r4 on
+    # the bc7_full estimator: 2.8-3.6 ms -> <0.5 ms per group)
+    from .bc7_full_pallas import _estimate_topk_rows
     plist = _plist or (FAST_PARTITIONS if fast else tuple(range(64)))
     topk = _topk or (2 if fast else 4)
-    topk = min(topk, len(plist))
-    est = _estimate_partitions(x[..., :3] * 255.0, plist)    # (total,P)
-    _, top = jax.lax.top_k(-est, topk)
-    part_rows = _map_ids(top, plist).T                       # (K,total)
+    interpret = jax.default_backend() == "cpu"
+    part_rows, topk = _estimate_topk_rows(xt, grid, sub, lane, 3, 2,
+                                          plist, 8, topk, interpret)
 
-    grid = total // tile
     kern = partial(_bc7fast_kernel, perceptual=perceptual, fast=fast,
                    nparts_k=topk, plist_override=_plist,
                    topk_override=_topk, uber_override=_uber)
-    interpret = jax.default_backend() == "cpu"
     outs = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((64, tile), lambda i: (0, i),
+        in_specs=[pl.BlockSpec((64, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((7, tile), lambda i: (0, i),
+                  pl.BlockSpec((7, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((topk, tile), lambda i: (0, i),
+                  pl.BlockSpec((topk, 1, sub, lane), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(5)),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((1, total), U32)] * 4
-            + [jax.ShapeDtypeStruct((1, total), F32)]),
+            [jax.ShapeDtypeStruct((grid, sub, lane), U32)] * 4
+            + [jax.ShapeDtypeStruct((grid, sub, lane), F32)]),
         interpret=interpret,
     )(xt, solid, part_rows)
-    words = jnp.stack([o[0, :n] for o in outs[:4]], axis=1)
-    return words, outs[4][0, :n]
+    words = jnp.stack([o.reshape(total)[:n] for o in outs[:4]], axis=1)
+    return words, outs[4].reshape(total)[:n]

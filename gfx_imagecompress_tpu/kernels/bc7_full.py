@@ -304,9 +304,16 @@ def _uber_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
     """Selector-variant refit rounds on one subset — the bc7enc16 uber
     machinery (richgel999_bc7enc16.cpp:896-1006) grafted onto the AMD
     search: each +-1 perturbation / scaling extrapolation of the current
-    indices is least-squares refit and requantized under the full p-bit
-    race, keeping any win. This plays the role of the trace-quantizer's
-    long AnD iteration (amd_bc7_3dquant_vpc.cpp:1874-2045) at fixed cost.
+    indices is least-squares refit and requantized, keeping any win. This
+    plays the role of the trace-quantizer's long AnD iteration
+    (amd_bc7_3dquant_vpc.cpp:1874-2045) at fixed cost.
+
+    ep_shaker_d's index collapse+(q,p) stretch sweep (amd_shake.cpp:
+    513-529, :820-828) was implemented here and measured at +0.00 dB on
+    the quality corpus for ~3x the mode-0 cost (r4) — the scaling
+    extrapolations above already cover the useful remappings — so the
+    refinement budget goes to the top-2 partition race instead
+    (encode_single_mode keep2).
 
     Returns (err, q0, q1, p0, p1, idx)."""
     from .bc7_fast import _sel_variants
@@ -358,7 +365,15 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
         cand_parts = jnp.asarray(plist, I32)[top]            # (N,K)
         topk = k
     ptab = jnp.asarray(partition_table(s_count))
+    # top-2 race for low-precision endpoints (<=5 bits): there the pre-
+    # refinement ranking is noisy, and the reference shakes EVERY sorted
+    # candidate before picking (bc7_body:643-709 numShakeAttempts), so
+    # refining only the pre-shake argmin loses the post-shake winner
+    # (measured r4: bc7_full_q1 -0.035 -> -0.015 dB from mode-0 keep2).
+    keep2 = (mode.colour_bits <= 5 and s_count >= 2 and topk > 1
+             and (uber or shake_rounds))
     best = None
+    best2 = None
     for kk in range(topk):
         part = cand_parts[:, kk]
         sub = ptab[part]
@@ -382,15 +397,25 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
             best = cand
         else:
             bt = cand[0] < best[0]
-            best = tuple(
-                jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
-                for c, b in zip(cand, best))
-    total, errs, part, q0, q1, pb0, pb1, idx = best
 
-    if uber or shake_rounds:
-        # refine + shake the winning partition's subsets only (the
-        # reference spends its shaker budget on the sorted-best partitions
-        # the same way, bc7_body:643-709)
+            def sel(t, a, b):
+                return tuple(
+                    jnp.where(t.reshape((n,) + (1,) * (x.ndim - 1)), x, y)
+                    for x, y in zip(a, b))
+
+            if keep2:
+                demoted = sel(bt, best, cand)      # loser of (cand, best)
+                best = sel(bt, cand, best)
+                if best2 is None:
+                    best2 = demoted
+                else:
+                    b2 = demoted[0] < best2[0]
+                    best2 = sel(b2, demoted, best2)
+            else:
+                best = sel(bt, cand, best)
+
+    def _refine(state):
+        total, errs, part, q0, q1, pb0, pb1, idx = state
         sub = ptab[part]
         for s in range(s_count):
             m = (sub == s).astype(F32)
@@ -411,7 +436,19 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
             pb0 = pb0.at[:, s].set(p0s)
             pb1 = pb1.at[:, s].set(p1s)
             idx = jnp.where(sub == s, idx_s, idx)
-        total = jnp.sum(errs, axis=1)
+        return (jnp.sum(errs, axis=1), errs, part, q0, q1, pb0, pb1, idx)
+
+    if uber or shake_rounds:
+        # refine + shake the winning partition's subsets (and the runner-
+        # up for low-bit modes), pick the post-refinement argmin
+        best = _refine(best)
+        if keep2:
+            ref2 = _refine(best2)
+            bt = ref2[0] < best[0]
+            best = tuple(
+                jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+                for c, b in zip(ref2, best))
+    total, errs, part, q0, q1, pb0, pb1, idx = best
 
     if pts.shape[-1] == 3 and mode.alpha_bits:
         raise AssertionError("alpha mode needs 4-channel pts")

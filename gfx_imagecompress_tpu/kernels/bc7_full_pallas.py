@@ -37,7 +37,9 @@ F32 = jnp.float32
 I32 = jnp.int32
 U32 = jnp.uint32
 
-TILE = 128
+SUB = 8          # sublane dim of the per-block tile
+LANE = 128       # lane dim
+TILE = SUB * LANE    # blocks per grid step ((8,128) native f32 vreg tile)
 LV = {2: tuple(w / 64.0 for w in WEIGHTS2),
       3: tuple(w / 64.0 for w in WEIGHTS3),
       4: tuple(w / 64.0 for w in WEIGHTS4)}
@@ -371,7 +373,12 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
         ests = _estimate(xs, plist, s_count, lvn)
         part_ids = _topk(ests, plist, min(topk, len(plist)))
     table = P2 if s_count == 2 else P3
+    # top-2 race for low-bit modes (kernels/bc7_full.py keep2 mirror):
+    # refine the runner-up too and pick the post-refinement argmin
+    keep2 = (mode.colour_bits <= 5 and s_count >= 2 and len(part_ids) > 1
+             and (uber or shake))
     best = None
+    best2 = None
     for pid in part_ids:
         if s_count == 1:
             sub_of = [jnp.zeros_like(pid) for _ in range(16)]
@@ -406,13 +413,22 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
             best = cand
         else:
             take = cand["err"] < best["err"]
-            best = _merge_dict(best, cand, take)
+            if keep2:
+                demoted = _merge_dict(cand, best, take)   # loser
+                best = _merge_dict(best, cand, take)
+                if best2 is None:
+                    best2 = demoted
+                else:
+                    b2 = demoted["err"] < best2["err"]
+                    best2 = _merge_dict(best2, demoted, b2)
+            else:
+                best = _merge_dict(best, cand, take)
 
-    if uber or shake:
-        # refine + shake the winning partition's subsets only (the
-        # reference spends its shaker budget on the sorted-best partitions
-        # the same way, bc7_body:643-709)
-        part = best["part"]
+    def _refine(st):
+        st = dict(st, errs=list(st["errs"]), q0=list(st["q0"]),
+                  q1=list(st["q1"]), pb0=list(st["pb0"]),
+                  pb1=list(st["pb1"]))
+        part = st["part"]
         if s_count == 1:
             sub_of = [jnp.zeros_like(part) for _ in range(16)]
         else:
@@ -422,13 +438,13 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
                 sub_of = [((bits_sel >> p) & 1) for p in range(16)]
             else:
                 sub_of = [((bits_sel >> (2 * p)) & 3) for p in range(16)]
-        idx = best["idx"]
+        idx = st["idx"]
         for s in range(s_count):
             mrows = [(r == s).astype(F32) for r in sub_of]
             m = jnp.concatenate(mrows, axis=0)
-            err_s, q0s, q1s, pb0, pb1 = (best["errs"][s], best["q0"][s],
-                                         best["q1"][s], best["pb0"][s],
-                                         best["pb1"][s])
+            err_s, q0s, q1s, pb0, pb1 = (st["errs"][s], st["q0"][s],
+                                         st["q1"][s], st["pb0"][s],
+                                         st["pb1"][s])
             if uber:
                 err_s, q0s, q1s, pb0, pb1, idx = _uber_rows(
                     xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, uber)
@@ -436,13 +452,24 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
                 err_s, q0s, q1s, pb0, pb1, idx = _shake_rows(
                     xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, shake,
                     srange=2 if shake >= 3 else 1)
-            best["errs"][s] = err_s
-            best["q0"][s] = q0s
-            best["q1"][s] = q1s
-            best["pb0"][s] = pb0
-            best["pb1"][s] = pb1
-        best["idx"] = idx
-        best["err"] = sum(best["errs"])
+            st["errs"][s] = err_s
+            st["q0"][s] = q0s
+            st["q1"][s] = q1s
+            st["pb0"][s] = pb0
+            st["pb1"][s] = pb1
+        st["idx"] = idx
+        st["err"] = sum(st["errs"])
+        return st
+
+    if uber or shake:
+        # refine + shake the winning partition's subsets (and the runner-
+        # up for low-bit modes); the reference spends its shaker budget on
+        # every sorted-best partition the same way, bc7_body:643-709
+        best = _refine(best)
+        if keep2:
+            ref2 = _refine(best2)
+            take = ref2["err"] < best["err"]
+            best = _merge_dict(best, ref2, take)
     return best
 
 
@@ -774,6 +801,40 @@ def _pack_dual(mode, st):
 
 
 # ---------------------------------------------------------------- kernel ---
+def _est_kernel(x_ref, out_ref, *, chans, subsets, plist, levels, k):
+    """Partition estimate + top-k as a Pallas kernel.
+
+    The XLA-side ``_estimate_partitions_vec`` materializes (N,P,16,C)
+    intermediates in HBM (~200 MB at P=64 / N=16k) and was the dominant
+    cost of the whole encode (measured r4: 2.8-3.6 ms per group vs
+    <0.5 ms in-kernel); here the sweep stays in VMEM rows."""
+    xs = [x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
+          for c in range(chans)]
+    ests = _estimate(xs, plist, subsets, levels)
+    ids = _topk(ests, plist, k)
+    for i, r in enumerate(ids):
+        out_ref[i:i + 1, 0] = r
+
+
+def _estimate_topk_rows(xt, grid_n, sub, lane, chans, subsets, plist,
+                        levels, k, interpret):
+    """-> ((K, grid_n, sub, lane) int32 partition-id rows, K)."""
+    k = min(k, len(plist))
+    kern = partial(_est_kernel, chans=chans, subsets=subsets,
+                   plist=tuple(plist), levels=levels, k=k)
+    out = pl.pallas_call(
+        kern,
+        grid=(grid_n,),
+        in_specs=[pl.BlockSpec((64, 1, sub, lane), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, 1, sub, lane), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, grid_n, sub, lane), I32),
+        interpret=interpret,
+    )(xt)
+    return out, k
+
+
 def _budgets(quality: float):
     """Mirrors kernels/bc7_full.py _budgets: (partition shortlist, topk,
     fit iters, shake rounds, uber level)."""
@@ -797,11 +858,13 @@ def _mode_kernel(x_ref, *refs, mode, quality, nparts_k,
     partition-id rows computed once in XLA."""
     if nparts_k:
         parts_ref, w0, w1, w2, w3, err_ref = refs
-        part_ids = [parts_ref[k:k + 1, :] for k in range(nparts_k)]
+        part_ids = [parts_ref[k:k + 1, 0] for k in range(nparts_k)]
     else:
         w0, w1, w2, w3, err_ref = refs
         part_ids = None
-    xs = [x_ref[16 * c:16 * (c + 1), :].astype(F32) * 255.0
+    # 3D lane layout: every per-block row is a full (1,SUB,LANE) vreg (no
+    # wasted sublanes) and pixel-axis reductions are elementwise vreg adds
+    xs = [x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
           for c in range(4)]
     nparts, topk, iters, shake, uber = _budgets(quality)
     plist = plist_override or (
@@ -847,19 +910,23 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
                              _uber=None):
     """(N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err)."""
     n = blocks.shape[0]
+    lane = min(tile, LANE)
+    sub = max(tile // lane, 1)
+    tile = sub * lane
     npad = -n % tile
     x = blocks[..., :4].astype(F32)
     if npad:
         pad = jnp.zeros((npad, 16, 4), F32).at[..., 3].set(1.0)
         x = jnp.concatenate([x, pad], axis=0)
     total = x.shape[0]
-    xt = x.transpose(2, 1, 0).reshape(64, total)
+    grid_n = total // tile
+    xt = x.transpose(2, 1, 0).reshape(64, grid_n, sub, lane)
     interpret = jax.default_backend() == "cpu"
 
-    # ---- shared partition estimation (one vectorized XLA pass per
+    # ---- shared partition estimation (one Pallas pass per
     # (subsets, channels) group, reused by every mode in the group —
     # VERDICT r1 item 4; mirrors the reference's estimate-once structure)
-    from .bc7_full import _combined_alpha_bar, _estimate_partitions_vec
+    from .bc7_full import _combined_alpha_bar
     nparts, topk, _, _, _ = _budgets(quality)
     topk = max(1, int(round(topk * min(max(performance, 0.0), 1.0))))
     if _topk:
@@ -867,15 +934,10 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
     pts255 = x * 255.0
     # COMBINED_ALPHA restrictions (bc7_body:1312-1380) as err masking
     bar = _combined_alpha_bar(x, pts255, colour_restrict, alpha_restrict)
-    bar = bar[None, :]                                 # (1,total)
 
     def _top_rows(chans, subsets, plist, levels, k):
-        from .common import map_ids as _map_ids
-        est = _estimate_partitions_vec(pts255[..., :chans], subsets,
-                                       plist, levels)
-        k = min(k, len(plist))
-        _, top = jax.lax.top_k(-est, k)
-        return _map_ids(top, plist).T, k               # (K,total)
+        return _estimate_topk_rows(xt, grid_n, sub, lane, chans, subsets,
+                                   plist, levels, k, interpret)
 
     plist_full = _plist or tuple(range(nparts))
     plist16 = _plist or tuple(range(min(nparts, 16)))
@@ -900,35 +962,37 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
                        nparts_k=nparts_k,
                        plist_override=_plist, topk_override=_topk,
                        shake_override=_shake, uber_override=_uber)
-        in_specs = [pl.BlockSpec((64, tile), lambda i: (0, i),
+        in_specs = [pl.BlockSpec((64, 1, sub, lane), lambda i: (0, i, 0, 0),
                                  memory_space=pltpu.VMEM)]
         inputs = [xt]
         if nparts_k:
-            in_specs.append(pl.BlockSpec((nparts_k, tile), lambda i: (0, i),
+            in_specs.append(pl.BlockSpec((nparts_k, 1, sub, lane),
+                                         lambda i: (0, i, 0, 0),
                                          memory_space=pltpu.VMEM))
             inputs.append(rows_k[0])
         outs = pl.pallas_call(
             kern,
-            grid=(total // tile,),
+            grid=(grid_n,),
             in_specs=in_specs,
             out_specs=tuple(
-                pl.BlockSpec((1, tile), lambda i: (0, i),
+                pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM) for _ in range(5)),
             out_shape=tuple(
-                [jax.ShapeDtypeStruct((1, total), U32)] * 4
-                + [jax.ShapeDtypeStruct((1, total), F32)]),
+                [jax.ShapeDtypeStruct((grid_n, sub, lane), U32)] * 4
+                + [jax.ShapeDtypeStruct((grid_n, sub, lane), F32)]),
             interpret=interpret,
         )(*inputs)
-        err = outs[4]
+        err = outs[4].reshape(total)
         if m.mode in (6, 7) and (mode_mask & ~0xC0):
             err = jnp.where(bar, jnp.float32(3.4e38), err)
+        cols = [o.reshape(total) for o in outs[:4]]
         if best_err is None:
             best_err = err
-            best_cols = list(outs[:4])
+            best_cols = cols
         else:
             take = err < best_err
             best_err = jnp.where(take, err, best_err)
             best_cols = [jnp.where(take, c, b)
-                         for b, c in zip(best_cols, outs[:4])]
-    words = jnp.stack([c[0, :n] for c in best_cols], axis=1)
-    return words, best_err[0, :n]
+                         for b, c in zip(best_cols, cols)]
+    words = jnp.stack([c[:n] for c in best_cols], axis=1)
+    return words, best_err[:n]

@@ -26,10 +26,10 @@ def mode_of(words):
 
 
 def main():
-    blocks = corpus_blocks(4, 64, "opaque")
+    blocks = corpus_blocks(16, 64, "opaque")   # the 4k quality corpus
     print(f"{len(blocks)} blocks", file=sys.stderr)
 
-    w_ref = ref_encode("bc7_full", dict(quality=1.0), blocks)
+    w_ref = ref_encode("bc7_full", dict(quality=1.0), blocks, procs=4)
     import jax.numpy as jnp
     from gfx_imagecompress_tpu.kernels.bc7_full import encode_bc7_blocks
     w_fw, _ = encode_bc7_blocks(jnp.asarray(blocks), quality=1.0)

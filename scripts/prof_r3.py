@@ -187,6 +187,13 @@ def main():
             "shake0": dict(_shake=0),
             "uber0": dict(_uber=0),
             "topk2": dict(_topk=2),
+            "floor": dict(_topk=1, _shake=0, _uber=0),
+            "floor_m1": dict(_topk=1, _shake=0, _uber=0, mode_mask=0x02),
+            "floor_m0": dict(_topk=1, _shake=0, _uber=0, mode_mask=0x01),
+            "floor_m7": dict(_topk=1, _shake=0, _uber=0, mode_mask=0x80),
+            "race_m1": dict(_shake=0, _uber=0, mode_mask=0x02),
+            "race_m7": dict(_shake=0, _uber=0, mode_mask=0x80),
+            "race_m2": dict(_shake=0, _uber=0, mode_mask=0x04),
         }
         sel = which.split(":", 1)[1].split(",") if ":" in which \
             else list(variants)
