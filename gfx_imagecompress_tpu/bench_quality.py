@@ -297,6 +297,13 @@ def run(fast=False, refresh=False, only=None, procs=None, pallas=False,
 
 
 def main():
+    # persistent compile cache (same store bench.py/tests use): the
+    # max-quality BC7 graphs compile for minutes cold
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--refresh", action="store_true")

@@ -163,14 +163,68 @@ def _pbit_analytic_choice(e0, e1, mode, chans):
     return best[1:]
 
 
-def _quant_subset(pts, m, mode, e0, e1, weights, analytic: bool = False):
+def _quant_subset(pts, m, mode, e0, e1, weights, analytic: bool = False,
+                  pbit_race: int = 1):
     """Quantize one subset's float endpoints; exact palette evaluation.
 
     ``analytic``: choose p-bits by endpoint rounding error (one palette
     eval) instead of racing every combo — used inside the partition race.
+    ``pbit_race=2`` (with analytic) races the TOP-2 combos by endpoint
+    rounding error against the exact palette — for mode 0's 4-bit
+    endpoints the 1-combo analytic choice misjudges the interpolated
+    palette, while the full 4-combo race is ~2x the quantize cost for
+    the same measured PSNR (scripts/diag_m0_exp.py r4).
     Returns (err, q0, q1, p0, p1, idx)."""
     n = pts.shape[0]
     chans = pts.shape[-1]
+    if analytic and mode.pbit_mode != "none" and pbit_race > 1:
+        e0c = jnp.clip(e0, 0.0, 255.0)
+        e1c = jnp.clip(e1, 0.0, 255.0)
+        combos = _pbit_combos(mode)
+        errs, packs = [], []
+        for p0, p1 in combos:
+            q0, q1, d0, d1 = _quant_channels(e0c, e1c, mode, p0, p1, chans)
+            pe = (jnp.sum((d0.astype(F32) - e0c[..., :chans]) ** 2, -1)
+                  + jnp.sum((d1.astype(F32) - e1c[..., :chans]) ** 2, -1))
+            errs.append(pe)
+            packs.append((q0, q1, d0, d1,
+                          jnp.full(pe.shape, p0, I32),
+                          jnp.full(pe.shape, p1, I32)))
+        # sequential top-2 by rounding error (ties -> earlier combo, the
+        # Pallas mirror's demote order)
+        big = jnp.float32(3.4e38)
+        e_sorted = list(errs)
+        best = None
+        for _rank in range(min(pbit_race, len(combos))):
+            sel = jnp.zeros_like(errs[0], I32)
+            cur = e_sorted[0]
+            for ci in range(1, len(combos)):
+                take = e_sorted[ci] < cur
+                cur = jnp.where(take, e_sorted[ci], cur)
+                sel = jnp.where(take, ci, sel)
+            e_sorted = [jnp.where(sel == ci, big, e_sorted[ci])
+                        for ci in range(len(combos))]
+            pick = []
+            for t_i in range(6):
+                acc = packs[0][t_i]
+                for ci in range(1, len(combos)):
+                    c = packs[ci][t_i]
+                    tk = (sel == ci).reshape(
+                        sel.shape + (1,) * (c.ndim - sel.ndim))
+                    acc = jnp.where(tk, c, acc)
+                pick.append(acc)
+            q0, q1, d0, d1, pv0, pv1 = pick
+            pal = palette(d0, d1, mode.index_bits)
+            idx, err = assign_nearest(pts, pal, weights, m)
+            cand = (err, q0, q1, pv0, pv1, idx)
+            if best is None:
+                best = cand
+            else:
+                bt = cand[0] < best[0]
+                best = tuple(
+                    jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+                    for c, b in zip(cand, best))
+        return best
     if analytic and mode.pbit_mode != "none":
         q0, q1, d0, d1, pv0, pv1 = _pbit_analytic_choice(e0, e1, mode, chans)
         pal = palette(d0, d1, mode.index_bits)
@@ -300,7 +354,7 @@ def _deq_endpoints(q0, q1, p0, p1, mode, chans):
 
 
 def _uber_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
-                 uber: int):
+                 uber: int, pbit_race: int = 1):
     """Selector-variant refit rounds on one subset — the bc7enc16 uber
     machinery (richgel999_bc7enc16.cpp:896-1006) grafted onto the AMD
     search: each +-1 perturbation / scaling extrapolation of the current
@@ -329,7 +383,8 @@ def _uber_subset(pts, m, mode, q0, q1, p0, p1, idx, err, weights,
     n = pts.shape[0]
     for v in _sel_variants(idx, mn, mx, max_sel, uber):
         e0v, e1v = lsq_refit(pts, m, lv[v], d0, d1)
-        cand = _quant_subset(pts, m, mode, e0v, e1v, weights, analytic=True)
+        cand = _quant_subset(pts, m, mode, e0v, e1v, weights,
+                             analytic=True, pbit_race=pbit_race)
         bt = cand[0] < best[0]
         best = tuple(
             jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
@@ -372,6 +427,16 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
     # (measured r4: bc7_full_q1 -0.035 -> -0.015 dB from mode-0 keep2).
     keep2 = (mode.colour_bits <= 5 and s_count >= 2 and topk > 1
              and (uber or shake_rounds))
+    # mode 0's 4-bit + per-endpoint-pbit endpoints: the analytic p-bit
+    # choice (endpoint rounding error) misjudges the interpolated palette
+    # so race + uber requant race the top-2 combos exactly, and the
+    # selector scale family gets two extra levels — together these closed
+    # ~93% of the measured mode-0 deficit vs the reference on the 4k
+    # corpus (scripts/diag_m0_exp.py, r4: +70141 SSE -> ~+5k).
+    low4 = mode.colour_bits <= 4 and mode.pbit_mode != "none"
+    pbit_race = 2 if low4 else 1
+    if low4 and uber:
+        uber = uber + 2
     best = None
     best2 = None
     for kk in range(topk):
@@ -383,7 +448,8 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
             m = (sub == s).astype(F32)
             e0, e1 = fit_line_iterative(pts, m, levels, iters, weights)
             err, q0, q1, p0, p1, idx = _quant_subset(
-                pts, m, mode, e0, e1, weights, analytic=True)
+                pts, m, mode, e0, e1, weights, analytic=True,
+                pbit_race=pbit_race)
             errl.append(err)
             q0l.append(q0)
             q1l.append(q1)
@@ -424,7 +490,7 @@ def encode_single_mode(pts, mode, weights, plist, topk: int, iters: int = 2,
             if uber:
                 err_s, q0s, q1s, p0s, p1s, idx_s = _uber_subset(
                     pts, m, mode, q0s, q1s, p0s, p1s, idx_s, err_s,
-                    weights, uber)
+                    weights, uber, pbit_race=pbit_race)
             if shake_rounds:
                 err_s, q0s, q1s, p0s, p1s, idx_s = _shake_subset(
                     pts, m, mode, q0s, q1s, p0s, p1s, idx_s, err_s,

@@ -176,18 +176,22 @@ def _pbit_combos(mode):
     return ((None, None),)
 
 
+def _sel_tuple(take, a, b):
+    """where(take, a, b) over tuples whose elements may be lists of rows."""
+    out = []
+    for an, bn in zip(a, b):
+        if isinstance(an, list):
+            out.append([jnp.where(take, x, y) for x, y in zip(an, bn)])
+        else:
+            out.append(jnp.where(take, an, bn))
+    return tuple(out)
+
+
 def _merge_tuple(cand, best):
     """Keyed-on-element-0 argmin merge; elements may be lists of rows."""
     if best is None:
         return cand
-    take = cand[0] < best[0]
-    out = []
-    for cn, bs in zip(cand, best):
-        if isinstance(cn, list):
-            out.append([jnp.where(take, a, b) for a, b in zip(cn, bs)])
-        else:
-            out.append(jnp.where(take, cn, bs))
-    return tuple(out)
+    return _sel_tuple(cand[0] < best[0], cand, best)
 
 
 def _deq_ch(q, p, bits: int, has_p: bool):
@@ -228,12 +232,15 @@ def _quant_ch_rows(e0, e1, mode, p0, p1):
     return q0s, q1s, d0s, d1s
 
 
-def _quant_subset_rows(xs, m, mode, e0, e1, analytic: bool = False):
+def _quant_subset_rows(xs, m, mode, e0, e1, analytic: bool = False,
+                       pbit_race: int = 1):
     """Quantize one subset's float endpoints against the exact palette
     (kernels/bc7_full.py _quant_subset analog).
 
     ``analytic``: p-bits chosen by endpoint rounding error with ONE palette
     evaluation (race path; the winner's shake re-races p-bits exactly).
+    ``pbit_race=2`` races the top-2 combos by rounding error exactly
+    (kernels/bc7_full.py mirror — the mode-0 machinery).
     Returns (err (1,T), q0s, q1s lists, pb0, pb1 (1,T), idx (16,T))."""
     wtab = WT[mode.index_bits]
     if analytic and mode.pbit_mode != "none":
@@ -242,6 +249,7 @@ def _quant_subset_rows(xs, m, mode, e0, e1, analytic: bool = False):
         combos = (((0, 0), (0, 1), (1, 0), (1, 1))
                   if mode.pbit_mode == "per_endpoint" else ((0, 0), (1, 1)))
         pick = None
+        pick2 = None
         for p0, p1 in combos:
             q0s, q1s, d0s, d1s = _quant_ch_rows(e0c, e1c, mode, p0, p1)
             perr = None
@@ -250,11 +258,23 @@ def _quant_subset_rows(xs, m, mode, e0, e1, analytic: bool = False):
                      + (d1s[c].astype(F32) - e1c[c]) ** 2)
                 perr = e if perr is None else perr + e
             z = jnp.zeros_like(perr, I32)
-            pick = _merge_tuple((perr, q0s, q1s, d0s, d1s, z + p0, z + p1),
-                                pick)
-        _, q0s, q1s, d0s, d1s, pb0, pb1 = pick
-        idx, err = _assign_exact(xs, d0s, d1s, wtab, False, mask=m)
-        return err, q0s, q1s, pb0, pb1, idx
+            cand = (perr, q0s, q1s, d0s, d1s, z + p0, z + p1)
+            if pick is None:
+                pick = cand
+            else:
+                take = cand[0] < pick[0]
+                loser = _sel_tuple(take, pick, cand)
+                pick = _sel_tuple(take, cand, pick)
+                if pbit_race > 1:
+                    pick2 = (loser if pick2 is None
+                             else _merge_tuple(loser, pick2))
+        best = None
+        for pk in ([pick, pick2] if pbit_race > 1 and pick2 is not None
+                   else [pick]):
+            _, q0s, q1s, d0s, d1s, pb0, pb1 = pk
+            idx, err = _assign_exact(xs, d0s, d1s, wtab, False, mask=m)
+            best = _merge_tuple((err, q0s, q1s, pb0, pb1, idx), best)
+        return best
     sbest = None
     for p0, p1 in _pbit_combos(mode):
         q0s, q1s, d0s, d1s = _quant_ch_rows(e0, e1, mode, p0, p1)
@@ -321,7 +341,8 @@ def _shake_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, rounds: int,
     return err, q0s, q1s, pb0, pb1, idx
 
 
-def _uber_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, uber: int):
+def _uber_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, uber: int,
+               pbit_race: int = 1):
     """Uber selector rounds on one subset (kernels/bc7_full.py _uber_subset
     analog; richgel999_bc7enc16.cpp:896-1006 machinery)."""
     chans = len(xs)
@@ -348,7 +369,7 @@ def _uber_rows(xs, m, mode, q0s, q1s, pb0, pb1, idx, err, uber: int):
                 lvl = jnp.where(vcat == k, l, lvl)
         e0v, e1v = _lsq_multi(xs, lvl, m, d0, d1)
         errv, q0v, q1v, p0v, p1v, idxv = _quant_subset_rows(
-            xs, m, mode, e0v, e1v, analytic=True)
+            xs, m, mode, e0v, e1v, analytic=True, pbit_race=pbit_race)
         cand = (errv, q0v, q1v, p0v, p1v, jnp.where(mi, idxv, idx))
         best = _merge_tuple(cand, best)
     return best
@@ -377,6 +398,13 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
     # refine the runner-up too and pick the post-refinement argmin
     keep2 = (mode.colour_bits <= 5 and s_count >= 2 and len(part_ids) > 1
              and (uber or shake))
+    # mode 0: top-2 p-bit race in race + uber requant, two extra scale
+    # levels (kernels/bc7_full.py low4/pbit_race mirror; closed ~93% of
+    # the mode-0 deficit, scripts/diag_m0_exp.py r4)
+    low4 = mode.colour_bits <= 4 and mode.pbit_mode != "none"
+    pbit_race = 2 if low4 else 1
+    if low4 and uber:
+        uber = uber + 2
     best = None
     best2 = None
     for pid in part_ids:
@@ -397,7 +425,7 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
             e0, e1 = _fit_masked(xs, mrows, levels, iters)
             m = jnp.concatenate(mrows, axis=0)
             err, q0s, q1s, pb0, pb1, idx = _quant_subset_rows(
-                xs, m, mode, e0, e1, analytic=True)
+                xs, m, mode, e0, e1, analytic=True, pbit_race=pbit_race)
             errl.append(err)
             q0l.append(q0s)
             q1l.append(q1s)
@@ -447,7 +475,8 @@ def _single_mode(xs, mode, plist, topk, iters, shake, uber,
                                          st["pb1"][s])
             if uber:
                 err_s, q0s, q1s, pb0, pb1, idx = _uber_rows(
-                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, uber)
+                    xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, uber,
+                    pbit_race=pbit_race)
             if shake:
                 err_s, q0s, q1s, pb0, pb1, idx = _shake_rows(
                     xs, m, mode, q0s, q1s, pb0, pb1, idx, err_s, shake,
@@ -949,7 +978,17 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
     if mode_mask & 0x04:                               # mode 2
         part_rows[2] = _top_rows(3, 3, plist_full, 4, topk)
     if mode_mask & 0x01:                               # mode 0
-        part_rows[0] = _top_rows(3, 3, plist16, 8, topk)
+        if quality > 0.75 and not _plist:
+            # only 16 partitions: full-fit them all at max quality, as the
+            # reference quantizes every partition before shaking the
+            # sorted best (bc7_body:582-709; kernels/bc7_full.py mirror)
+            k0 = len(plist16)
+            rows0 = jnp.broadcast_to(
+                jnp.arange(k0, dtype=I32)[:, None, None, None],
+                (k0, grid_n, sub, lane))
+            part_rows[0] = (rows0, k0)
+        else:
+            part_rows[0] = _top_rows(3, 3, plist16, 8, topk)
 
     best_err = None
     best_cols = None
