@@ -497,6 +497,28 @@ def encode_bc6h_blocks(blocks: jnp.ndarray, *, signed: bool = False,
                             regions=1, ptab_j=ptab_j)
 
     cands = [b for b in (best2, best1) if b is not None]
+
+    # ---- graceful no-fit fallback: when every enabled mode is transformed
+    # a high-dynamic block can overflow every delta field and gate the whole
+    # race to inf — the argmin would then pack truncated garbage. The
+    # reference degrades to a canned solid-red block (amd_bc6h_body.cpp:118,
+    # 1639-1645); here the fallback is a SOLID MEAN block on the first
+    # enabled mode: all four endpoints equal makes every delta zero, which
+    # fits any transformed mode, and its true decode error joins the race
+    # (so it only ever wins when everything else overflowed).
+    all_modes = two_modes + one_modes
+    if all_modes and all(m.transformed for _, m in all_modes):
+        mi_fb, m_fb = (one_modes if one_modes else two_modes)[0]
+        u_mean = jnp.sum(u_pts, axis=1) / 16.0             # (N,3)
+        q_m = _quantize(u_mean, m_fb.base_bits, signed)
+        qs_fb = jnp.stack([q_m] * 4, 1)
+        ones_m = jnp.ones((n, 16), F32)
+        ibits_fb = 4 if m_fb.regions == 1 else 3
+        err_fb, idx_fb = _palette_err(h_pts, ones_m, q_m, q_m,
+                                      m_fb.base_bits, signed, ibits_fb)
+        cands.append((err_fb, jnp.full((n,), mi_fb, I32),
+                      jnp.zeros((n,), I32), qs_fb, idx_fb))
+
     best = cands[0]
     for c in cands[1:]:
         best = merge(best, c)

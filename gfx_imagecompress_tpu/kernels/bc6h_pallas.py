@@ -549,6 +549,24 @@ def _bc6h_kernel(h_ref, u_ref, w0, w1, w2, w3, err_ref, *, signed, topk,
 
     best = _merge(best2, best1) if best1 is not None else best2
 
+    # ---- graceful no-fit fallback (kernels/bc6h.py mirror): with only
+    # transformed modes enabled, a high-dynamic block can gate everything
+    # to inf; a SOLID MEAN candidate (all endpoints equal -> zero deltas,
+    # fits any transformed mode) keeps the output decodable.
+    all_modes = two_modes + one_modes
+    if all_modes and all(m.transformed for _, m in all_modes):
+        mi_fb, m_fb = (one_modes if one_modes else two_modes)[0]
+        u_mean = [jnp.sum(u, axis=0, keepdims=True) / 16.0 for u in us]
+        q_m = [_quantize(u, m_fb.base_bits, signed) for u in u_mean]
+        wtab_fb = WEIGHTS4 if m_fb.regions == 1 else WEIGHTS3
+        idx_fb, err_fb = _palette_err(h, None, q_m, q_m, m_fb.base_bits,
+                                      signed, wtab_fb)
+        anchor_fb = (zero + ANCHOR2[0]) if m_fb.regions == 2 else zero
+        best = _merge(best, dict(
+            err=err_fb, mi=jnp.zeros_like(err_fb, I32) + mi_fb,
+            shape=zero, anchor=anchor_fb, q=[q_m, q_m, q_m, q_m],
+            idx=jnp.zeros_like(idx_fb)))
+
     # ---- pack the winner (lane-select over modes)
     z = jnp.zeros_like(best["err"], U32)
     cols = [z, z, z, z]

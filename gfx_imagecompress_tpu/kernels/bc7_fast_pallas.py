@@ -770,7 +770,11 @@ def encode_bc7_fast_blocks_pallas(blocks: jnp.ndarray, *, fast: bool = False,
     # ---- mode-1 partition estimation + top-k as a Pallas pass (the XLA
     # sweep materialized (N,16,3) intermediates per partition in HBM and
     # dominated the encode; in-kernel it stays in VMEM — measured r4 on
-    # the bc7_full estimator: 2.8-3.6 ms -> <0.5 ms per group)
+    # the bc7_full estimator: 2.8-3.6 ms -> <0.5 ms per group).
+    # NOTE: this reuses bc7_full_pallas._estimate (bounds-axis, levels=8),
+    # a slightly different shortlist than bc7_fast._estimate_partitions;
+    # the swap measured bc7_fast +0.372 -> +0.351 dB vs reference (r4) —
+    # still comfortably positive, traded for the shared in-kernel pass.
     from .bc7_full_pallas import _estimate_topk_rows
     plist = _plist or (FAST_PARTITIONS if fast else tuple(range(64)))
     topk = _topk or (2 if fast else 4)

@@ -939,6 +939,12 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
                              _uber=None):
     """(N,16,4) float RGBA blocks in [0,1] -> ((N,4) uint32, (N,) err)."""
     n = blocks.shape[0]
+    if tile > LANE and tile % LANE:
+        # a value like 192 would silently coerce to 128 below; small tiles
+        # (< LANE, interpret-mode tests) intentionally use non-native lanes
+        raise ValueError(
+            f"tile above {LANE} must be a multiple of the native lane "
+            f"width {LANE}; got {tile}")
     lane = min(tile, LANE)
     sub = max(tile // lane, 1)
     tile = sub * lane

@@ -64,7 +64,7 @@ def main():
         import gfx_imagecompress_tpu.kernels.bc7_full as B
         orig = B._quant_subset
         if fullp:
-            def forced(pts_, m_, mode_, e0_, e1_, w_, analytic=True):
+            def forced(pts_, m_, mode_, e0_, e1_, w_, analytic=True, **kw_):
                 return orig(pts_, m_, mode_, e0_, e1_, w_, analytic=False)
             B._quant_subset = forced
         try:

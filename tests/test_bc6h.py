@@ -104,3 +104,35 @@ def test_mode_mask_one_region_only():
     codes5 = words[:, 0] & 0x1F
     assert set(int(c) for c in codes5) <= {0x03, 0x07, 0x0B, 0x0F}
     assert np.isfinite(err).all()
+
+
+def test_masked_overflow_graceful_fallback():
+    """Transformed-only mask (modes 1-9 = 0x1FF) on overflow-inducing
+    content must still emit valid, finite encodings — the reference
+    degrades to a solid block (amd_bc6h_body.cpp:118, 1639-1645); here a
+    solid-mean candidate on an enabled mode joins the race (VERDICT r4
+    item 6). Checked on BOTH paths."""
+    from gfx_imagecompress_tpu.kernels.bc6h_pallas import (
+        encode_bc6h_blocks_pallas)
+
+    # alternate huge positive / tiny values: deltas overflow every
+    # transformed mode's field at any base precision
+    r = np.random.default_rng(7)
+    vals = np.where(r.random((64, 16, 3)) < 0.5, 60000.0, 1e-4)
+    blocks = jnp.asarray(vals.astype(np.float32))
+    # quality=0.3 keeps the compile cheap; the fallback machinery is
+    # quality-independent (it joins the race after the budgeted sweep)
+    for enc in (encode_bc6h_blocks,
+                lambda b, **kw: encode_bc6h_blocks_pallas(b, tile=4, **kw)):
+        words, err = enc(blocks, signed=False, mode_mask=0x1FF, quality=0.3)
+        err = np.asarray(err)
+        assert np.isfinite(err).all()
+        wn = np.asarray(words)
+        # only enabled (2-region, transformed) mode codes may appear
+        allowed = {0x00, 0x01, 0x02, 0x06, 0x0A, 0x0E, 0x12, 0x16, 0x1A}
+        for w0 in wn[:, 0]:
+            code = int(w0 & 3) if int(w0 & 3) in (0, 1) else int(w0 & 0x1F)
+            assert code in allowed
+        dec = np.asarray(decode_bc6h(jnp.asarray(wn), signed=False))
+        assert np.isfinite(dec).all()
+        assert (dec >= 0.0).all() and (dec <= 65504.0).all()
