@@ -13,10 +13,46 @@ per iteration is pure device compute — the number that matters for batched
 production serving.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# ---- roofline model (VERDICT r4 item 4) --------------------------------
+# These encoders are candidate searches in fp32/int32 on the VPU — there
+# are no matmuls, so the MXU bf16 peak (public v5e: 197 TFLOP/s) is not
+# the ceiling. VPU model: (8,128) vector registers x 4 ALUs x 2 flops/FMA
+# x ~1.5 GHz (the clock implied by 197e12 / (2 MXUs * 128*128 MACs * 2))
+# ~= 12.3 TFLOP/s fp32. Treat utilization as a MODEL with ~2x systematic
+# uncertainty: compare/select/min ops issue as 1 op (not an FMA), and the
+# flop side comes from XLA cost analysis of the jnp twins (see PERF.md).
+# HBM: 819 GB/s (public v5e figure).
+VPU_PEAK_FLOPS = 1024 * 4 * 2 * 1.5e9
+HBM_PEAK_BYTES = 819e9
+
+_FLOPS_MODEL_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "flops_model.json")
+
+
+def _load_flops_model():
+    try:
+        with open(_FLOPS_MODEL_PATH) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def _mfu_fields(results, key, model_key, texels_per_s, model):
+    """Attach modeled VPU utilization + HBM fraction for one config."""
+    m = model.get(model_key)
+    if not m:
+        return
+    blocks_per_s = texels_per_s / 16.0
+    flops_s = blocks_per_s * m["flops_per_block"]
+    bytes_s = blocks_per_s * m["bytes_per_block"]
+    results[key + "_vpu_util"] = flops_s / VPU_PEAK_FLOPS
+    results[key + "_hbm_frac"] = bytes_s / HBM_PEAK_BYTES
 
 
 def _emit(results, bc1_mts):
@@ -95,6 +131,7 @@ def main():
 
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0])}
+    fmodel = _load_flops_model()
 
     def photo(h, w, c=4):
         y, x = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -112,6 +149,8 @@ def main():
     texels = 64 * 256 * 256
     bc1_mts = texels / dt / 1e6
     results["bc1_256_mtexels_per_s"] = bc1_mts
+    _mfu_fields(results, "bc1_256_mtexels_per_s", "bc1", bc1_mts * 1e6,
+                fmodel)
 
     # --- config 2: BC4/BC5 512x512 gray/normal maps ---
     if time_left() < 60:
@@ -121,11 +160,15 @@ def main():
     g = g2[:, :, 0]
     dt = _marginal_time(encode_bc4_blocks_pallas, g)
     results["bc4_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
+    _mfu_fields(results, "bc4_512_mtexels_per_s", "bc4", 512 * 512 / dt,
+                fmodel)
 
     from gfx_imagecompress_tpu.kernels.bc4_pallas import (
         encode_bc5_blocks_pallas)
     dt = _marginal_time(encode_bc5_blocks_pallas, g2)
     results["bc5_512_mtexels_per_s"] = 512 * 512 / dt / 1e6
+    _mfu_fields(results, "bc5_512_mtexels_per_s", "bc5", 512 * 512 / dt,
+                fmodel)
 
     # --- config 3: BC2/BC3 1K RGBA (fused single-launch kernels) ---
     if time_left() < 90:
@@ -140,8 +183,12 @@ def main():
 
     dt = _marginal_time(bc3, b1k)
     results["bc3_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
+    _mfu_fields(results, "bc3_1k_mtexels_per_s", "bc3", 1024 * 1024 / dt,
+                fmodel)
     dt = _marginal_time(bc2, b1k)
     results["bc2_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
+    _mfu_fields(results, "bc2_1k_mtexels_per_s", "bc2", 1024 * 1024 / dt,
+                fmodel)
 
     # --- config 4: BC6H 1K RGBA16F (signed + unsigned) ---
     try:
@@ -159,6 +206,7 @@ def main():
             key = ("bc6h_1k_%s_mtexels_per_s"
                    % ("snorm" if signed else "ufloat"))
             results[key] = 1024 * 1024 / dt / 1e6
+            _mfu_fields(results, key, "bc6h", 1024 * 1024 / dt, fmodel)
     except Exception as e:  # keep the headline alive if BC6H regresses
         results["bc6h_error"] = repr(e)
 
@@ -170,6 +218,8 @@ def main():
     dt = _marginal_time(_p(encode_bc7_fast_blocks_pallas, fast=True,
                            perceptual=False), b1k, n_lo=1, n_hi=3)
     results["bc7_fast_1k_mtexels_per_s"] = 1024 * 1024 / dt / 1e6
+    _mfu_fields(results, "bc7_fast_1k_mtexels_per_s", "bc7_fast",
+                1024 * 1024 / dt, fmodel)
     try:
         if time_left() < 120:
             raise TimeoutError("budget: skipping bc7 full")
@@ -179,6 +229,8 @@ def main():
         b2k = image_to_blocks(jnp.asarray(photo(2048, 2048)[None]))
         dt = _marginal_time(encode_bc7_blocks_pallas, b2k, n_lo=1, n_hi=3)
         results["bc7_full_2k_mtexels_per_s"] = 2048 * 2048 / dt / 1e6
+        _mfu_fields(results, "bc7_full_2k_mtexels_per_s", "bc7_full",
+                    2048 * 2048 / dt, fmodel)
     except Exception as e:
         results["bc7_full_error"] = repr(e)
 

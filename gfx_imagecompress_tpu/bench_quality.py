@@ -204,6 +204,16 @@ def config_matrix(fast=False):
          dict(quality=0.3), dict(quality=0.3), "bc7"),
         ("bc7_full_alpha", "bc7_full", (n, size, "gradient"),
          dict(quality=1.0), dict(quality=1.0), "bc7"),
+        # the performance<1 block-API regime (VERDICT r4 item 7): at
+        # perf=0.3 the reference's quantizer gate (blockMaxRange >
+        # 255*perf, amd_bc7_body.cpp:606-630) routes ~half of this small
+        # corpus through the TRACE quantizer (refcpu _opt_quant_trace —
+        # exact optimal monotone clustering); perf=0.5's threshold of
+        # 127.5 is above all but ~3% of corpus block ranges and would
+        # measure nothing. Small corpus: the trace oracle is ~15 s/block.
+        ("bc7_full_p0.3", "bc7_full", (2, 32, "opaque"),
+         dict(quality=0.3, performance=0.3),
+         dict(quality=0.3, performance=0.3), "bc7"),
         ("bc6h_uf", "bc6h", (n, size, "hdr"),
          dict(signed=False), dict(signed=False), "bc6h_uf"),
         ("bc6h_sf", "bc6h", (n, size, "hdr"),

@@ -82,16 +82,42 @@ def _eval_q(pts, mask, q0, q1, four, weights):
     return idx, err
 
 
+def _eval_q2(pts, mask, q0, q1, four, weights):
+    """(idx, weighted err, unweighted err) — the unweighted sum rides the
+    weighted assignment (indices are the decoder's, chosen weighted)."""
+    pal = palette_from_q(q0, q1, four)                  # (N,K,3)
+    idx, err = assign_nearest(pts, pal, weights, mask)  # idx (N,16)
+    chosen = jnp.take_along_axis(pal, idx[:, :, None], axis=1)  # (N,16,3)
+    d = pts - chosen
+    uerr = jnp.sum(jnp.sum(d * d, axis=-1) * mask, axis=-1)
+    return idx, err, uerr
+
+
+def _tb_take(werr, uerr, best_w, best_u, eps: float):
+    """Weighted-primary acceptance with an unweighted tie-break: a move
+    wins outright below (1-eps)x the incumbent's weighted error, and wins
+    a near-tie (within +-eps relative) iff it improves the UNWEIGHTED
+    error. Both encoders optimize the perceptually weighted objective
+    (block_utils.cpp:162-211) while the quality yardstick is unweighted
+    PSNR; measured r5, the fw search beats the reference by ~3% on the
+    weighted objective yet trailed PSNR by 0.014 dB — this recovers the
+    metric without surrendering the objective."""
+    win = werr < best_w * (1.0 - eps)
+    tie = (werr <= best_w * (1.0 + eps)) & (uerr < best_u)
+    return win | tie
+
+
 def refine_565(pts, mask, q0, q1, four: bool, weights,
-               passes: int = 1):
+               passes: int = 1, tb_eps: float = 0.0):
     """Sequential per-channel +/-1 endpoint jitter in 565 space.
 
     Vectorized analog of Refine (amd_bcx_body.cpp:582-806): for each channel,
     try the 9 (dlo, dhi) in {-1,0,1}^2 moves, keep the argmin under the exact
     decode palette. Static unroll: passes * 3 channels * 9 candidates.
+    ``tb_eps`` > 0 enables the unweighted tie-break (_tb_take).
     """
     maxq = jnp.array([31, 63, 31], I32)
-    _, best_err = _eval_q(pts, mask, q0, q1, four, weights)
+    _, best_err, best_u = _eval_q2(pts, mask, q0, q1, four, weights)
     for _ in range(passes):
         for ch in range(3):
             for d0 in (-1, 0, 1):
@@ -102,11 +128,17 @@ def refine_565(pts, mask, q0, q1, four: bool, weights,
                         jnp.clip(q0[..., ch] + d0, 0, maxq[ch]))
                     c1 = q1.at[..., ch].set(
                         jnp.clip(q1[..., ch] + d1, 0, maxq[ch]))
-                    _, err = _eval_q(pts, mask, c0, c1, four, weights)
-                    better = err < best_err
+                    _, err, uerr = _eval_q2(pts, mask, c0, c1, four,
+                                            weights)
+                    if tb_eps > 0.0:
+                        better = _tb_take(err, uerr, best_err, best_u,
+                                          tb_eps)
+                    else:
+                        better = err < best_err
                     q0 = jnp.where(better[..., None], c0, q0)
                     q1 = jnp.where(better[..., None], c1, q1)
-                    best_err = jnp.minimum(err, best_err)
+                    best_err = jnp.where(better, err, best_err)
+                    best_u = jnp.where(better, uerr, best_u)
     return q0, q1, best_err
 
 
@@ -225,8 +257,27 @@ def _ramp_position_sweep(t, mask, tmin, tmax, levels):
     return best[1], best[2]
 
 
+def _rederive_axis(pts, mask, mean, t, lo, hi, levels):
+    """Axis re-derivation from the sweep-implied index vector — one round
+    of the reference's convergence loop (amd_bcx_body.cpp:1139-1165): bin
+    projections uniformly into ramp slots, centre the slot ids, and refit
+    the direction as the LSQ of the 16-dim index vector."""
+    k = len(levels)
+    step = jnp.maximum((hi - lo) / (k - 1), 1e-6)            # (N,1)
+    idx = jnp.clip(jnp.floor((t - lo + step * 0.5) / step), 0, k - 1)
+    c = (idx - (k - 1) / 2.0) / (k - 1)                      # (N,16)
+    cen = (pts - mean[:, None, :]) * mask[..., None]
+    ln = jnp.sum(c * c * mask, axis=-1, keepdims=True)       # (N,1)
+    crs = jnp.sum(cen * (c * mask)[..., None], axis=1)       # (N,3)
+    nrm = jnp.sqrt(jnp.sum(crs * crs, axis=-1, keepdims=True))
+    ok = (ln > 0) & (nrm > 1e-6)
+    return jnp.where(ok, crs / jnp.maximum(nrm, 1e-6), 0.0), ok[:, 0]
+
+
 def _fit_mode(pts, mask, four: bool, weights, iters: int,
-              refine_passes: int, b3d: bool = False):
+              refine_passes: int, b3d: bool = False,
+              sweep_rounds: int = 1, refine_both: bool = False,
+              refine_each: bool = False, tb_eps: float = 0.0):
     levels = LEVELS4 if four else LEVELS3
     lv = jnp.asarray(levels, F32)
     mean, axis = principal_axis(pts, mask)
@@ -234,13 +285,21 @@ def _fit_mode(pts, mask, four: bool, weights, iters: int,
 
     cands = []
     lo_sw, hi_sw = _ramp_position_sweep(t, mask, tmin, tmax, levels)
-    # the reference loops (position sweep -> axis re-derivation) until no
-    # improvement (bcx:951-998); measured on the quality corpus the extra
-    # rounds are worth <=0.003 dB at 3x the sweep cost, so the default
-    # takes one sweep on the PCA axis
-    for lo, hi in ((tmin, tmax), (lo_sw, hi_sw)):
-        e0 = mean + lo * axis
-        e1 = mean + hi * axis
+    pairs = [(tmin, tmax, axis), (lo_sw, hi_sw, axis)]
+    # one extra round of the reference's convergence loop (bcx:951-998):
+    # re-derive the axis from the sweep's implied index vector and sweep
+    # again; raced as a third candidate rather than iterated to
+    # convergence (sweep_rounds > 2 measured +0.000 dB on the corpus)
+    for _ in range(sweep_rounds - 1):
+        axis2, ok2 = _rederive_axis(pts, mask, mean, t, lo_sw, hi_sw,
+                                    levels)
+        axis2 = jnp.where(ok2[:, None], axis2, axis)
+        t, tmin, tmax = project_extents(pts, mask, mean, axis2)
+        lo_sw, hi_sw = _ramp_position_sweep(t, mask, tmin, tmax, levels)
+        pairs.append((lo_sw, hi_sw, axis2))
+    for lo, hi, ax in pairs:
+        e0 = mean + lo * ax
+        e1 = mean + hi * ax
         for _ in range(iters):
             pal = e0[..., None, :] + lv[:, None] * (e1 - e0)[..., None, :]
             idx, _ = assign_nearest(pts, pal, weights, mask)
@@ -249,6 +308,27 @@ def _fit_mode(pts, mask, four: bool, weights, iters: int,
         q1 = quantize_565(e1)
         _, err = _eval_q(pts, mask, q0, q1, four, weights)
         cands.append((err, q0, q1))
+    if refine_each:
+        # refine EVERY raced candidate and argmin after — the pre-refine
+        # ranking between the bounds/sweep/re-derived-axis fits can miss
+        # the post-refine winner (same lesson as the BC7 keep2 race)
+        ref_c = []
+        for cerr, cq0, cq1 in cands:
+            if b3d:
+                rq0, rq1, rerr = refine3d_565(pts, mask, cq0, cq1, four,
+                                              weights, steps=refine_passes)
+            else:
+                rq0, rq1, rerr = refine_565(pts, mask, cq0, cq1, four,
+                                            weights, passes=refine_passes)
+            ref_c.append((rerr, rq0, rq1))
+        err, q0, q1 = ref_c[0]
+        for cerr, cq0, cq1 in ref_c[1:]:
+            bt = cerr < err
+            q0 = jnp.where(bt[:, None], cq0, q0)
+            q1 = jnp.where(bt[:, None], cq1, q1)
+            err = jnp.minimum(cerr, err)
+        idx, err, uerr = _eval_q2(pts, mask, q0, q1, four, weights)
+        return q0, q1, idx, err, uerr
     err, q0, q1 = cands[0]
     for cerr, cq0, cq1 in cands[1:]:
         bt = cerr < err
@@ -262,14 +342,23 @@ def _fit_mode(pts, mask, four: bool, weights, iters: int,
                                    steps=refine_passes)
     else:
         q0, q1, err = refine_565(pts, mask, q0, q1, four, weights,
-                                 passes=refine_passes)
-    idx, err = _eval_q(pts, mask, q0, q1, four, weights)
-    return q0, q1, idx, err
+                                 passes=refine_passes, tb_eps=tb_eps)
+    if refine_both and not b3d:
+        q0j, q1j, _ = refine3d_565(pts, mask, q0, q1, four, weights,
+                                   steps=1)
+        _, errj = _eval_q(pts, mask, q0j, q1j, four, weights)
+        bt = errj < err
+        q0 = jnp.where(bt[:, None], q0j, q0)
+        q1 = jnp.where(bt[:, None], q1j, q1)
+        err = jnp.minimum(errj, err)
+    idx, err, uerr = _eval_q2(pts, mask, q0, q1, four, weights)
+    return q0, q1, idx, err, uerr
 
 
 @partial(jax.jit, static_argnames=(
     "use_alpha", "allow_three", "force_four_decode", "refinement_steps",
-    "b3d_refinement", "weights"))
+    "b3d_refinement", "weights", "_sweep_rounds", "_refine_both",
+    "_refine_passes", "_refine_each", "_tb_eps"))
 def encode_bc1_blocks(blocks: jnp.ndarray,
                       alpha_threshold: jnp.ndarray | float = 0.5,
                       *,
@@ -278,7 +367,12 @@ def encode_bc1_blocks(blocks: jnp.ndarray,
                       force_four_decode: bool = False,
                       refinement_steps: int = 1,
                       b3d_refinement: bool = False,
-                      weights: tuple = PERCEPTUAL_WEIGHTS):
+                      weights: tuple = PERCEPTUAL_WEIGHTS,
+                      _sweep_rounds: int = 1,
+                      _refine_both: bool = False,
+                      _refine_passes: int = 1,
+                      _refine_each: bool = False,
+                      _tb_eps: float = 0.05):
     """Encode (N, 16, C>=3) float blocks in [0,1] -> ((N, 2) uint32, (N,) err).
 
     ``force_four_decode``: BC2/BC3 colour-block mode — the decoder always uses
@@ -300,17 +394,22 @@ def encode_bc1_blocks(blocks: jnp.ndarray,
     has_transparent = jnp.any(~opaque, axis=-1)
 
     iters = 2 + int(refinement_steps)
-    passes = 1
+    passes = int(_refine_passes)
 
-    q0_4, q1_4, idx4, err4 = _fit_mode(pts, mask, True, w, iters, passes,
-                                       b3d=b3d_refinement)
+    q0_4, q1_4, idx4, err4, uerr4 = _fit_mode(
+        pts, mask, True, w, iters, passes, b3d=b3d_refinement,
+        sweep_rounds=_sweep_rounds, refine_both=_refine_both,
+        refine_each=_refine_each, tb_eps=_tb_eps)
 
     if allow_three:
-        q0_3, q1_3, idx3, err3 = _fit_mode(pts, mask, False, w, iters,
-                                           passes, b3d=b3d_refinement)
+        q0_3, q1_3, idx3, err3, uerr3 = _fit_mode(
+            pts, mask, False, w, iters, passes, b3d=b3d_refinement,
+            sweep_rounds=_sweep_rounds, refine_both=_refine_both,
+            refine_each=_refine_each, tb_eps=_tb_eps)
     else:
         q0_3, q1_3 = q0_4, q1_4
         idx3, err3 = idx4, jnp.full((n,), jnp.inf, F32)
+        uerr3 = jnp.full((n,), jnp.inf, F32)
 
     # ---- pack 4-colour: requires packed c0 > c1 (amd_bcx_helpers.cpp:97-100).
     c0_4 = pack_565(q0_4)
@@ -339,7 +438,11 @@ def encode_bc1_blocks(blocks: jnp.ndarray,
     elif not allow_three:
         use4 = ~degenerate4
     else:
-        use4 = (err4 < err3) & ~degenerate4
+        if _tb_eps > 0.0:
+            use4 = _tb_take(err4, uerr4, err3, uerr3, _tb_eps)
+        else:
+            use4 = err4 < err3
+        use4 = use4 & ~degenerate4
         if use_alpha:
             use4 = use4 & ~has_transparent
 

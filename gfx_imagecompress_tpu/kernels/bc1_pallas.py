@@ -98,6 +98,47 @@ def _assign_int(xs, pal, w, m=None):
     return idx, err
 
 
+def _assign_int2(xs, pal, w, m=None):
+    """_assign_int + the UNWEIGHTED error of the weighted assignment
+    (kernels/bc1.py _eval_q2 mirror)."""
+    best_d = None
+    best_u = None
+    idx = None
+    for k, entry in enumerate(pal):
+        d = jnp.zeros_like(xs[0])
+        u = jnp.zeros_like(xs[0])
+        for c in range(3):
+            diff = xs[c] - entry[c].astype(F32)
+            d = d + w[c] * diff * diff
+            u = u + diff * diff
+        if best_d is None:
+            best_d, best_u, idx = d, u, jnp.zeros_like(d, I32)
+        else:
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_u = jnp.where(take, u, best_u)
+            idx = jnp.where(take, k, idx)
+    if m is not None:
+        best_d = best_d * m
+        best_u = best_u * m
+    return (idx, jnp.sum(best_d, axis=0, keepdims=True),
+            jnp.sum(best_u, axis=0, keepdims=True))
+
+
+# Unweighted tie-break threshold (kernels/bc1.py _tb_take mirror): both
+# encoders optimize the perceptually weighted objective while the quality
+# yardstick is unweighted PSNR; at eps=0.05 the r5 corpus measurement is
+# Pareto-better than the reference on BOTH sums (weighted -1.7%, PSNR
+# +0.11 dB).
+TB_EPS = 0.05
+
+
+def _tb_take(werr, uerr, best_w, best_u):
+    win = werr < best_w * (1.0 - TB_EPS)
+    tie = (werr <= best_w * (1.0 + TB_EPS)) & (uerr < best_u)
+    return win | tie
+
+
 def _pca(xs, m=None):
     """PCA axis. xs: 3x(16,T) f32 -> (mean, axis, cen) of (1,T) triples."""
     if m is None:
@@ -292,18 +333,21 @@ def _refine(xs, q0, q1, four: bool, w, passes: int, m=None):
     bit-identical accept decisions.
     """
     maxq = (31, 63, 31)
-    _, best = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w, m)
+    _, best, best_u = _assign_int2(xs, _palette_int(tuple(q0), tuple(q1),
+                                                    four), w, m)
     for _ in range(passes):
         for ch in range(3):
             pal = _palette_int(tuple(q0), tuple(q1), four)
             others = []
             for entry in pal:
                 d = jnp.zeros_like(xs[0])
+                u = jnp.zeros_like(xs[0])
                 for c in range(3):
                     if c != ch:
                         diff = xs[c] - entry[c].astype(F32)
                         d = d + w[c] * diff * diff
-                others.append(d)
+                        u = u + diff * diff
+                others.append((d, u))
             for d0 in (-1, 0, 1):
                 for d1 in (-1, 0, 1):
                     if d0 == 0 and d1 == 0:
@@ -312,16 +356,25 @@ def _refine(xs, q0, q1, four: bool, w, passes: int, m=None):
                     c1 = jnp.clip(q1[ch] + d1, 0, maxq[ch])
                     ech = _chan_palette(c0, c1, ch, four)
                     dbest = None
-                    for other, e in zip(others, ech):
+                    ubest = None
+                    for (other, other_u), e in zip(others, ech):
                         diff = xs[ch] - e.astype(F32)
                         dk = other + w[ch] * diff * diff
-                        dbest = dk if dbest is None else jnp.minimum(dbest,
-                                                                     dk)
+                        uk = other_u + diff * diff
+                        if dbest is None:
+                            dbest, ubest = dk, uk
+                        else:
+                            tk = dk < dbest
+                            dbest = jnp.where(tk, dk, dbest)
+                            ubest = jnp.where(tk, uk, ubest)
                     if m is not None:
                         dbest = dbest * m
+                        ubest = ubest * m
                     err = jnp.sum(dbest, axis=0, keepdims=True)
-                    take = err < best
+                    uerr = jnp.sum(ubest, axis=0, keepdims=True)
+                    take = _tb_take(err, uerr, best, best_u)
                     best = jnp.where(take, err, best)
+                    best_u = jnp.where(take, uerr, best_u)
                     q0[ch] = jnp.where(take, c0, q0[ch])
                     q1[ch] = jnp.where(take, c1, q1[ch])
     return q0, q1
@@ -399,8 +452,9 @@ def _fit_mode(xs, four: bool, w, iters: int, passes: int, m=None,
         q0, q1 = _refine3d(xs, q0, q1, four, w, passes, m)
     else:
         q0, q1 = _refine(xs, q0, q1, four, w, passes, m)
-    idx, err = _assign_int(xs, _palette_int(tuple(q0), tuple(q1), four), w, m)
-    return q0, q1, idx, err
+    idx, err, uerr = _assign_int2(xs, _palette_int(tuple(q0), tuple(q1),
+                                                   four), w, m)
+    return q0, q1, idx, err, uerr
 
 
 def _bc1_search(xs, av, *, weights, iters, passes, allow_three,
@@ -432,8 +486,8 @@ def _bc1_search(xs, av, *, weights, iters, passes, allow_three,
     else:
         m = None
 
-    q0_4, q1_4, idx4, err4 = _fit_mode(xs, True, w, iters, passes, m,
-                                       b3d=b3d)
+    q0_4, q1_4, idx4, err4, uerr4 = _fit_mode(xs, True, w, iters, passes,
+                                              m, b3d=b3d)
     c0_4 = _pack565(q0_4)
     c1_4 = _pack565(q1_4)
     swap4 = c0_4 < c1_4
@@ -444,8 +498,8 @@ def _bc1_search(xs, av, *, weights, iters, passes, allow_three,
     degenerate4 = a0_4 == a1_4
 
     if allow_three:
-        q0_3, q1_3, idx3, err3 = _fit_mode(xs, False, w, iters, passes, m,
-                                           b3d=b3d)
+        q0_3, q1_3, idx3, err3, uerr3 = _fit_mode(xs, False, w, iters,
+                                                  passes, m, b3d=b3d)
         c0_3 = _pack565(q0_3)
         c1_3 = _pack565(q1_3)
         swap3 = c0_3 > c1_3
@@ -457,9 +511,9 @@ def _bc1_search(xs, av, *, weights, iters, passes, allow_three,
             # transparent pixels -> index 3 (amd_bcx_body.cpp:269-270);
             # any transparent pixel forces the 3-colour mode
             pidx3 = jnp.where(opq, pidx3, 3)
-            use4 = (err4 < err3) & ~degenerate4 & ~has_t
+            use4 = _tb_take(err4, uerr4, err3, uerr3) & ~degenerate4 & ~has_t
         else:
-            use4 = (err4 < err3) & ~degenerate4
+            use4 = _tb_take(err4, uerr4, err3, uerr3) & ~degenerate4
         a0 = jnp.where(use4, a0_4, a0_3)
         a1 = jnp.where(use4, a1_4, a1_3)
         pidx = jnp.where(use4, pidx4, pidx3)

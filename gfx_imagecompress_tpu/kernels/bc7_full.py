@@ -567,6 +567,48 @@ class _SubMode:
         self.pbit_mode = pbit_mode
 
 
+def _uber_scalar(vals, bits: int, index_bits: int, qa0, qa1, aidx, aerr,
+                 uber: int):
+    """Uber selector rounds for a dual-mode scalar (alpha) channel: each
+    selector variant is LSQ-refit, requantized and exactly re-assigned —
+    the scalar-side counterpart of _uber_dual_colour (the reference's
+    dual path runs its full shaker on the scalar block too,
+    amd_bc7_body.cpp:1161-1239)."""
+    from .bc7_fast import _sel_variants
+    lv = jnp.asarray(LEVELS[index_bits], F32)
+    max_sel = (1 << index_bits) - 1
+    w = jnp.asarray(WEIGHTS_BY_BITS[index_bits], I32)
+    mn = jnp.min(aidx, axis=1, keepdims=True)
+    mx = jnp.max(aidx, axis=1, keepdims=True)
+    best = (aerr, qa0, qa1, aidx)
+    n = vals.shape[0]
+    for v in _sel_variants(aidx, mn, mx, max_sel, uber):
+        a = lv[v]
+        q00 = jnp.sum((1 - a) ** 2, -1)
+        q01 = jnp.sum(a * (1 - a), -1)
+        q11 = jnp.sum(a * a, -1)
+        b0 = jnp.sum((1 - a) * vals, -1)
+        b1 = jnp.sum(a * vals, -1)
+        det = q00 * q11 - q01 * q01
+        ok = jnp.abs(det) > 1e-6
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        e0 = (q11 * b0 - q01 * b1) * inv
+        e1 = (q00 * b1 - q01 * b0) * inv
+        q0, d0 = quantize_plain(jnp.where(ok, e0, 0.0), bits)
+        q1, d1 = quantize_plain(jnp.where(ok, e1, 255.0), bits)
+        pal = (d0[:, None] * (64 - w)[None, :] + d1[:, None] * w[None, :]
+               + 32) >> 6
+        d = vals[:, :, None] - pal[:, None, :].astype(F32)
+        idx = jnp.argmin(d * d, axis=-1).astype(I32)
+        err = jnp.sum(jnp.min(d * d, axis=-1), axis=-1)
+        cand = (err, q0, q1, idx)
+        bt = cand[0] < best[0]
+        best = tuple(
+            jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
+            for c, b in zip(cand, best))
+    return best
+
+
 def _uber_dual_colour(rgb, mask, cbits: int, ibits: int, qc0, qc1, cidx,
                       cerr, weights3, uber: int):
     """Uber selector rounds for a dual-mode RGB fit (no p-bits)."""
@@ -603,17 +645,70 @@ def _uber_dual_colour(rgb, mask, cbits: int, ibits: int, qc0, qc1, cidx,
 _ROT_PERMS = ((0, 1, 2, 3), (3, 1, 2, 0), (0, 3, 2, 1), (0, 1, 3, 2))
 
 
+def _refine_dual(pts, mode, w4, cand, shake_rounds: int, uber: int,
+                 mask, zeros):
+    """Refine one dual-mode candidate tuple: gather its rotation's permuted
+    points, run uber + shake on each static sel path, lane-select."""
+    err, cerr, aerr, rot, sel, qc0, qc1, qa0, qa1, cidx, aidx = cand
+    perm = jnp.asarray(_ROT_PERMS, I32)[rot]               # (N,4)
+    p = jnp.take_along_axis(pts, perm[:, None, :], axis=2)
+    rgb, alpha = p[..., :3], p[..., 3]
+    w3 = w4[:3]
+    for sv in range(1 << mode.index_mode_bits):
+        in_sel = (sel == sv) if mode.index_mode_bits else (sel == sel)
+        cbits_idx = mode.index_bits2 if sv else mode.index_bits
+        abits_idx = mode.index_bits if sv else mode.index_bits2
+        cerr_v, qc0v, qc1v, cidx_v = cerr, qc0, qc1, cidx
+        aerr_u, qa0_u, qa1_u, aidx_u = aerr, qa0, qa1, aidx
+        if uber:
+            cerr_v, qc0v, qc1v, cidx_v = _uber_dual_colour(
+                rgb, mask, mode.colour_bits, cbits_idx, qc0v, qc1v,
+                cidx_v, cerr_v, w3, min(uber, 2))
+            aerr_u, qa0_u, qa1_u, aidx_u = _uber_scalar(
+                alpha, mode.alpha_bits, abits_idx, qa0, qa1, aidx, aerr,
+                min(uber, 2))
+        if shake_rounds:
+            srange = 1   # r5: srange=2 for duals measured +0.000 dB
+            cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
+            cerr_v, qc0v, qc1v, _, _, cidx_v = _shake_subset(
+                rgb, mask, cmode, qc0v, qc1v, zeros, zeros, cidx_v,
+                cerr_v, w3, shake_rounds, srange=srange)
+            amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
+            aerr_v, qa0v, qa1v, _, _, aidx_v = _shake_subset(
+                alpha[..., None], mask, amode, qa0_u[..., None],
+                qa1_u[..., None], zeros, zeros, aidx_u, aerr_u,
+                jnp.ones((1,), F32), shake_rounds, srange=srange)
+            qa0v, qa1v = qa0v[..., 0], qa1v[..., 0]
+        else:
+            aerr_v, qa0v, qa1v, aidx_v = aerr_u, qa0_u, qa1_u, aidx_u
+        gain = (cerr_v + aerr_v * w4[3]) < (cerr + aerr * w4[3])
+        tk = in_sel & gain
+        cerr = jnp.where(tk, cerr_v, cerr)
+        aerr = jnp.where(tk, aerr_v, aerr)
+        qc0 = jnp.where(tk[:, None], qc0v, qc0)
+        qc1 = jnp.where(tk[:, None], qc1v, qc1)
+        qa0 = jnp.where(tk, qa0v, qa0)
+        qa1 = jnp.where(tk, qa1v, qa1)
+        cidx = jnp.where(tk[:, None], cidx_v, cidx)
+        aidx = jnp.where(tk[:, None], aidx_v, aidx)
+    err = cerr + aerr * w4[3]
+    return (err, cerr, aerr, rot, sel, qc0, qc1, qa0, qa1, cidx, aidx)
+
+
 def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
-                     uber: int = 0):
+                     uber: int = 0, keep: int = 1, iters: int = 2):
     """Modes 4/5: rotation race x index-selection race x separate RGB +
     scalar alpha fits; the uber selector rounds and the quantized-space
-    shaker run on the (rot, sel) winner only (the reference refines only
-    its best candidate the same way).
+    shaker run on the top-``keep`` (rot, sel) candidates. The reference
+    shakes EVERY candidate above the HIGH threshold
+    (amd_bc7_body.cpp:1153-1239: the quantizer-error gate is bypassed at
+    quality > 0.7), so the pre-refinement ranking can miss the post-shake
+    winner; keep=2 recovers most of that at 2x (not 8x) the refine cost.
 
     pts (N,16,4) 0..255. CompressDualIndexBlock analog
     (amd_bc7_body.cpp:1059-1278) including the mode-4 ``indexSelection``
     axis (:1099-1127): idx_mode==1 gives colour the 3-bit index set and
-    alpha the 2-bit set. Winner refinement assumes permutation-invariant
+    alpha the 2-bit set. Refinement assumes permutation-invariant
     channel weights (the driver always passes uniform weights).
     Returns (err, words).
     """
@@ -621,7 +716,14 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
     w4 = jnp.asarray(weights, F32)
     zeros = jnp.zeros((n,), I32)
     mask = jnp.ones((n, 16), F32)
-    best = None
+    keep_n = keep if (uber or shake_rounds) else 1
+    slots = []   # per-block top-keep_n candidates, best first
+
+    def sel_t(t, a, b):
+        return tuple(
+            jnp.where(t.reshape((n,) + (1,) * (x.ndim - 1)), x, y)
+            for x, y in zip(a, b))
+
     for rot in range(4):
         perm = list(_ROT_PERMS[rot])
         p = pts[..., perm]
@@ -630,8 +732,8 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
         for sel in range(1 << mode.index_mode_bits):
             cbits_idx = mode.index_bits2 if sel else mode.index_bits
             abits_idx = mode.index_bits if sel else mode.index_bits2
-            e0, e1 = fit_line_iterative(rgb, mask, LEVELS[cbits_idx], 2,
-                                        wp[:3])
+            e0, e1 = fit_line_iterative(rgb, mask, LEVELS[cbits_idx],
+                                        iters, wp[:3])
             qs0, ds0, qs1, ds1 = [], [], [], []
             for c in range(3):
                 q0c, d0c = quantize_plain(e0[..., c], mode.colour_bits)
@@ -645,61 +747,31 @@ def encode_dual_mode(pts, mode, weights, shake_rounds: int = 0,
             pal = palette(jnp.stack(ds0, -1), jnp.stack(ds1, -1), cbits_idx)
             cidx, cerr = assign_nearest(rgb, pal, wp[:3], mask)
             aerr, qa0, qa1, aidx = _fit_scalar(alpha, mode.alpha_bits,
-                                               abits_idx)
+                                               abits_idx, iters=iters)
             err = cerr + aerr * wp[3]
             cand = (err, cerr, aerr, jnp.full((n,), rot, I32),
                     jnp.full((n,), sel, I32), qc0, qc1, qa0, qa1,
                     cidx, aidx)
-            if best is None:
-                best = cand
-            else:
-                bt = cand[0] < best[0]
-                best = tuple(
-                    jnp.where(bt.reshape((n,) + (1,) * (b.ndim - 1)), c, b)
-                    for c, b in zip(cand, best))
-    err, cerr, aerr, rot, sel, qc0, qc1, qa0, qa1, cidx, aidx = best
+            # bubble-insert into the per-block top-keep_n slots
+            for i in range(len(slots)):
+                bt = cand[0] < slots[i][0]
+                new_i = sel_t(bt, cand, slots[i])
+                cand = sel_t(bt, slots[i], cand)
+                slots[i] = new_i
+            if len(slots) < keep_n:
+                slots.append(cand)
 
+    best = slots[0]
     if uber or shake_rounds:
-        # winner-only refinement: gather the winning rotation's permuted
-        # points once, then refine each static sel path and lane-select
-        perm = jnp.asarray(_ROT_PERMS, I32)[rot]               # (N,4)
-        p = jnp.take_along_axis(pts, perm[:, None, :], axis=2)
-        rgb, alpha = p[..., :3], p[..., 3]
-        w3 = w4[:3]
-        for sv in range(1 << mode.index_mode_bits):
-            in_sel = (sel == sv) if mode.index_mode_bits else (sel == sel)
-            cbits_idx = mode.index_bits2 if sv else mode.index_bits
-            abits_idx = mode.index_bits if sv else mode.index_bits2
-            cerr_v, qc0v, qc1v, cidx_v = cerr, qc0, qc1, cidx
-            if uber:
-                cerr_v, qc0v, qc1v, cidx_v = _uber_dual_colour(
-                    rgb, mask, mode.colour_bits, cbits_idx, qc0v, qc1v,
-                    cidx_v, cerr_v, w3, min(uber, 2))
-            if shake_rounds:
-                cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
-                cerr_v, qc0v, qc1v, _, _, cidx_v = _shake_subset(
-                    rgb, mask, cmode, qc0v, qc1v, zeros, zeros, cidx_v,
-                    cerr_v, w3, shake_rounds)
-                amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
-                aerr_v, qa0v, qa1v, _, _, aidx_v = _shake_subset(
-                    alpha[..., None], mask, amode, qa0[..., None],
-                    qa1[..., None], zeros, zeros, aidx, aerr,
-                    jnp.ones((1,), F32), shake_rounds)
-                qa0v, qa1v = qa0v[..., 0], qa1v[..., 0]
-            else:
-                aerr_v, qa0v, qa1v, aidx_v = aerr, qa0, qa1, aidx
-            gain = (cerr_v + aerr_v * w4[3]) < (cerr + aerr * w4[3])
-            tk = in_sel & gain
-            cerr = jnp.where(tk, cerr_v, cerr)
-            aerr = jnp.where(tk, aerr_v, aerr)
-            qc0 = jnp.where(tk[:, None], qc0v, qc0)
-            qc1 = jnp.where(tk[:, None], qc1v, qc1)
-            qa0 = jnp.where(tk, qa0v, qa0)
-            qa1 = jnp.where(tk, qa1v, qa1)
-            cidx = jnp.where(tk[:, None], cidx_v, cidx)
-            aidx = jnp.where(tk[:, None], aidx_v, aidx)
-        err = cerr + aerr * w4[3]
+        best = _refine_dual(pts, mode, w4, best, shake_rounds, uber,
+                            mask, zeros)
+        for s in slots[1:]:
+            ref = _refine_dual(pts, mode, w4, s, shake_rounds, uber,
+                               mask, zeros)
+            bt = ref[0] < best[0]
+            best = sel_t(bt, ref, best)
 
+    err, cerr, aerr, rot, sel, qc0, qc1, qa0, qa1, cidx, aidx = best
     f1idx = jnp.where((sel == 1)[:, None], aidx, cidx)
     f2idx = jnp.where((sel == 1)[:, None], cidx, aidx)
     words = pack_dual(mode, rot, sel, qc0, qc1, qa0, qa1, f1idx, f2idx)
@@ -768,11 +840,19 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
     pts = blocks.astype(F32) * 255.0
     n = pts.shape[0]
     w = (1.0, 1.0, 1.0, 1.0)
-    nparts, topk, iters, shake, uber = _budgets(quality)
-    # ``performance`` scales the per-mode search effort at a given quality
-    # (the reference's knob gates its quantizer search the same direction,
-    # amd_bc7_body.hpp:109-116): shrink the top-k partition budget
-    topk = max(1, int(round(topk * min(max(performance, 0.0), 1.0))))
+    # ``performance`` < 1 routes the reference's high-range blocks to its
+    # OPTIMAL trace-table quantizer (blockMaxRange > 255*perf,
+    # amd_bc7_body.cpp:606-630) — i.e. lower performance RAISES reference
+    # quality. This framework has one quantizer, so parity is bought with
+    # search effort: lift the budget tier to max(quality, 1-perf) and add
+    # one top-k slot. Mapping measured against the trace-equipped oracle
+    # on the bc7_full_p0.3 matrix row (scripts/diag_bc7_perf.py: the
+    # shipped tier closes -0.116 dB to >= +0.04).
+    perf = min(max(performance, 0.0), 1.0)
+    q_eff = max(quality, 1.0 - perf) if perf < 1.0 else quality
+    nparts, topk, iters, shake, uber = _budgets(q_eff)
+    if perf < 1.0:
+        topk += 1
     plist = tuple(range(nparts))
     plist16 = tuple(range(min(nparts, 16)))
 
@@ -793,7 +873,15 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
     if mode_mask & 0x0A:                                     # modes 1, 3
         cand[1] = cand[3] = _top_parts(pts[..., :3], 2, plist, 8, topk)
     if mode_mask & 0x80:                                     # mode 7
-        cand[7] = _top_parts(pts, 2, plist, 4, topk)
+        # widened shortlist at max quality: the bounds-axis estimator
+        # misranks 4-channel alpha-gradient blocks badly enough that the
+        # true best partition often misses a top-8 (r5 per-mode diag:
+        # mode 7 carried the WHOLE bc7_full_alpha deficit, +16.7k SSE on
+        # 143 ref-mode-7 blocks of 512); the reference ranks all 64 by
+        # exact quantizer error (bc7_body:582-643). Alpha-only cost: the
+        # all-opaque runtime skip means opaque content never runs mode 7.
+        topk7 = max(topk, 24) if q_eff > 0.75 else topk
+        cand[7] = _top_parts(pts, 2, plist, 4, topk7)
     if mode_mask & 0x04:                                     # mode 2
         cand[2] = _top_parts(pts[..., :3], 3, plist, 4, topk)
     if mode_mask & 0x01:                                     # mode 0
@@ -816,8 +904,11 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
         if not (mode_mask >> m.mode) & 1:
             continue
         if m.mode in (4, 5):
+            # keep=2 at max quality: the reference shakes EVERY (rot, sel)
+            # candidate above HIGH_THRESHOLD (bc7_body:1153-1239)
             err, wd = encode_dual_mode(pts, m, w, shake_rounds=shake,
-                                       uber=uber)
+                                       uber=uber, iters=iters,
+                                       keep=2 if q_eff > 0.75 else 1)
         elif m.alpha_bits:  # modes 6, 7 (COMBINED_ALPHA)
             err, wd = encode_single_mode(
                 pts, m, jnp.asarray(w, F32),

@@ -637,13 +637,62 @@ class _SubMode:
 _ROT_PERMS = ((0, 1, 2, 3), (3, 1, 2, 0), (0, 3, 2, 1), (0, 1, 3, 2))
 
 
-def _dual_mode(xs, mode, iters, shake, uber):
+def _uber_scalar_rows(vals, bits, index_bits, qa0, qa1, aidx, aerr,
+                      uber: int):
+    """Uber selector rounds for the dual-mode scalar channel on lane rows
+    (kernels/bc7_full.py _uber_scalar mirror)."""
+    lv = LV[index_bits]
+    max_sel = (1 << index_bits) - 1
+    wtab = WT[index_bits]
+    mn = jnp.min(aidx, axis=0, keepdims=True)
+    mx = jnp.max(aidx, axis=0, keepdims=True)
+    base_rows = [aidx[p:p + 1] for p in range(16)]
+    best = (aerr, qa0, qa1, aidx)
+    for v in _sel_variant_rows(base_rows, mn, mx, max_sel, uber):
+        vcat = jnp.concatenate(v, axis=0)
+        a = jnp.zeros_like(vals)
+        for k, l in enumerate(lv):
+            if l:
+                a = jnp.where(vcat == k, l, a)
+        one_a = 1.0 - a
+        q00 = jnp.sum(one_a * one_a, axis=0, keepdims=True)
+        q01 = jnp.sum(one_a * a, axis=0, keepdims=True)
+        q11 = jnp.sum(a * a, axis=0, keepdims=True)
+        det = q00 * q11 - q01 * q01
+        ok = jnp.abs(det) > 1e-6
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        b0 = jnp.sum(one_a * vals, axis=0, keepdims=True)
+        b1 = jnp.sum(a * vals, axis=0, keepdims=True)
+        e0 = (q11 * b0 - q01 * b1) * inv
+        e1 = (q00 * b1 - q01 * b0) * inv
+        q0, d0 = _quant_plain(jnp.where(ok, e0, 0.0), bits)
+        q1, d1 = _quant_plain(jnp.where(ok, e1, 255.0), bits)
+        bestd = None
+        idx = None
+        for k, wk in enumerate(wtab):
+            dec = _lerp64(d0, d1, wk).astype(F32)
+            d = (vals - dec) ** 2
+            if bestd is None:
+                bestd, idx = d, jnp.zeros_like(d, I32)
+            else:
+                take = d < bestd
+                bestd = jnp.where(take, d, bestd)
+                idx = jnp.where(take, k, idx)
+        err = jnp.sum(bestd, axis=0, keepdims=True)
+        best = _merge_tuple((err, q0, q1, idx), best)
+    return best
+
+
+def _dual_mode(xs, mode, iters, shake, uber, keep: int = 1):
     """Modes 4/5: rotation race x index-selection race x separate RGB +
     scalar alpha fits (CompressDualIndexBlock analog,
     amd_bc7_body.cpp:1059-1278, incl. the mode-4 indexSelection axis
-    :1099-1127); uber selector rounds and the shaker run on the
-    (rot, sel) winner only (kernels/bc7_full.py parity)."""
+    :1099-1127); uber + shake refine the top-``keep`` (rot, sel)
+    candidates (keep=2 at max quality — the reference shakes EVERY
+    candidate above HIGH_THRESHOLD; kernels/bc7_full.py parity)."""
     best = None
+    best2 = None
+    keep2 = keep > 1 and (uber or shake)
     ones = [jnp.ones_like(xs[0][0:1]) for _ in range(16)]
     m_all = jnp.concatenate(ones, axis=0)
     zero = jnp.zeros_like(xs[0][0:1], I32)
@@ -665,15 +714,26 @@ def _dual_mode(xs, mode, iters, shake, uber):
                         cidx=cidx, aidx=aidx)
             if best is None:
                 best = cand
+            elif keep2:
+                take = cand["err"] < best["err"]
+                demoted = _merge_dict(cand, best, take)
+                best = _merge_dict(best, cand, take)
+                if best2 is None:
+                    best2 = demoted
+                else:
+                    b2 = demoted["err"] < best2["err"]
+                    best2 = _merge_dict(best2, demoted, b2)
             else:
                 take = cand["err"] < best["err"]
                 best = _merge_dict(best, cand, take)
 
-    if uber or shake:
-        # winner-only refinement: permute channel rows by the winning
-        # rotation (lane select), refine each static sel path, lane-select
-        rot = best["rot"]
+    def _refine(st):
+        # permute channel rows by the candidate's rotation (lane select),
+        # refine each static sel path, lane-select
+        st = dict(st)
+        rot = st["rot"]
         rgb = [None] * 3
+        alpha = None
         for c in range(4):
             px = None
             for r in range(4):
@@ -684,41 +744,53 @@ def _dual_mode(xs, mode, iters, shake, uber):
             else:
                 alpha = px
         for sv in range(1 << mode.index_mode_bits):
-            in_sel = (best["sel"] == sv) if mode.index_mode_bits else None
+            in_sel = (st["sel"] == sv) if mode.index_mode_bits else None
             cbits_idx = mode.index_bits2 if sv else mode.index_bits
             abits_idx = mode.index_bits if sv else mode.index_bits2
             cmode = _SubMode(mode.colour_bits, 0, cbits_idx, "none")
-            cerr_v, qc0v, qc1v, cidx_v = (best["cerr"], best["qc0"],
-                                          best["qc1"], best["cidx"])
+            cerr_v, qc0v, qc1v, cidx_v = (st["cerr"], st["qc0"],
+                                          st["qc1"], st["cidx"])
+            aerr_u, qa0_u, qa1_u, aidx_u = (st["aerr"], st["qa0"],
+                                            st["qa1"], st["aidx"])
             if uber:
                 cerr_v, qc0v, qc1v, _, _, cidx_v = _uber_rows(
                     rgb, m_all, cmode, qc0v, qc1v, zero, zero, cidx_v,
                     cerr_v, min(uber, 2))
+                aerr_u, qa0_u, qa1_u, aidx_u = _uber_scalar_rows(
+                    alpha, mode.alpha_bits, abits_idx, qa0_u, qa1_u,
+                    aidx_u, aerr_u, min(uber, 2))
             if shake:
                 cerr_v, qc0v, qc1v, _, _, cidx_v = _shake_rows(
                     rgb, m_all, cmode, qc0v, qc1v, zero, zero, cidx_v,
                     cerr_v, shake)
                 amode = _SubMode(mode.alpha_bits, 0, abits_idx, "none")
                 aerr_v, qa0l, qa1l, _, _, aidx_v = _shake_rows(
-                    [alpha], m_all, amode, [best["qa0"]], [best["qa1"]],
-                    zero, zero, best["aidx"], best["aerr"], shake)
+                    [alpha], m_all, amode, [qa0_u], [qa1_u],
+                    zero, zero, aidx_u, aerr_u, shake)
                 qa0v, qa1v = qa0l[0], qa1l[0]
             else:
-                aerr_v, qa0v, qa1v, aidx_v = (best["aerr"], best["qa0"],
-                                              best["qa1"], best["aidx"])
-            gain = (cerr_v + aerr_v) < best["err"]
+                aerr_v, qa0v, qa1v, aidx_v = aerr_u, qa0_u, qa1_u, aidx_u
+            gain = (cerr_v + aerr_v) < st["err"]
             tk = gain if in_sel is None else (in_sel & gain)
-            best["cerr"] = jnp.where(tk, cerr_v, best["cerr"])
-            best["aerr"] = jnp.where(tk, aerr_v, best["aerr"])
-            best["qc0"] = [jnp.where(tk, a, b)
-                           for a, b in zip(qc0v, best["qc0"])]
-            best["qc1"] = [jnp.where(tk, a, b)
-                           for a, b in zip(qc1v, best["qc1"])]
-            best["qa0"] = jnp.where(tk, qa0v, best["qa0"])
-            best["qa1"] = jnp.where(tk, qa1v, best["qa1"])
-            best["cidx"] = jnp.where(tk, cidx_v, best["cidx"])
-            best["aidx"] = jnp.where(tk, aidx_v, best["aidx"])
-            best["err"] = best["cerr"] + best["aerr"]
+            st["cerr"] = jnp.where(tk, cerr_v, st["cerr"])
+            st["aerr"] = jnp.where(tk, aerr_v, st["aerr"])
+            st["qc0"] = [jnp.where(tk, a, b)
+                         for a, b in zip(qc0v, st["qc0"])]
+            st["qc1"] = [jnp.where(tk, a, b)
+                         for a, b in zip(qc1v, st["qc1"])]
+            st["qa0"] = jnp.where(tk, qa0v, st["qa0"])
+            st["qa1"] = jnp.where(tk, qa1v, st["qa1"])
+            st["cidx"] = jnp.where(tk, cidx_v, st["cidx"])
+            st["aidx"] = jnp.where(tk, aidx_v, st["aidx"])
+            st["err"] = st["cerr"] + st["aerr"]
+        return st
+
+    if uber or shake:
+        best = _refine(best)
+        if keep2 and best2 is not None:
+            ref2 = _refine(best2)
+            take = ref2["err"] < best["err"]
+            best = _merge_dict(best, ref2, take)
 
     sel1 = best["sel"] == 1
     best["f1idx"] = jnp.where(sel1, best["aidx"], best["cidx"])
@@ -905,7 +977,8 @@ def _mode_kernel(x_ref, *refs, mode, quality, nparts_k,
     if uber_override is not None:
         uber = uber_override
     if mode.mode in (4, 5):
-        st = _dual_mode(xs, mode, iters, shake, uber)
+        st = _dual_mode(xs, mode, iters, shake, uber,
+                        keep=2 if quality > 0.75 else 1)
         err = st["err"]
         cols = _pack_dual(mode, st)
     elif mode.alpha_bits:
@@ -962,13 +1035,24 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
     # (subsets, channels) group, reused by every mode in the group —
     # VERDICT r1 item 4; mirrors the reference's estimate-once structure)
     from .bc7_full import _combined_alpha_bar
+    # performance<1 mapping mirrors kernels/bc7_full.py: the reference's
+    # knob ROUTES high-range blocks to its optimal trace quantizer, so
+    # lower performance means more quality — lift the budget tier and add
+    # a top-k slot (measured on the bc7_full_p0.3 row)
+    perf = min(max(performance, 0.0), 1.0)
+    quality = max(quality, 1.0 - perf) if perf < 1.0 else quality
     nparts, topk, _, _, _ = _budgets(quality)
-    topk = max(1, int(round(topk * min(max(performance, 0.0), 1.0))))
+    if perf < 1.0:
+        topk += 1
     if _topk:
         topk = _topk
     pts255 = x * 255.0
     # COMBINED_ALPHA restrictions (bc7_body:1312-1380) as err masking
     bar = _combined_alpha_bar(x, pts255, colour_restrict, alpha_restrict)
+    if npad:
+        # padded rows are solid (bar=False) and would defeat the all-
+        # barred runtime skip below; their outputs are trimmed anyway
+        bar = bar.at[n:].set(True)
 
     def _top_rows(chans, subsets, plist, levels, k):
         return _estimate_topk_rows(xt, grid_n, sub, lane, chans, subsets,
@@ -979,8 +1063,8 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
     part_rows = {}
     if mode_mask & 0x0A:                               # modes 1, 3
         part_rows[1] = part_rows[3] = _top_rows(3, 2, plist_full, 8, topk)
-    if mode_mask & 0x80:                               # mode 7
-        part_rows[7] = _top_rows(4, 2, plist_full, 4, topk)
+    # mode 7's estimation pass moves inside its lax.cond (below): on
+    # all-opaque batches the whole mode-7 leg is skipped at runtime
     if mode_mask & 0x04:                               # mode 2
         part_rows[2] = _top_rows(3, 3, plist_full, 4, topk)
     if mode_mask & 0x01:                               # mode 0
@@ -998,37 +1082,67 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
 
     best_err = None
     best_cols = None
+    any_unbarred = jnp.any(~bar)
     for m in BC7_MODES:
         if not (mode_mask >> m.mode) & 1:
             continue
-        rows_k = part_rows.get(m.mode)
-        nparts_k = rows_k[1] if rows_k is not None else 0
-        kern = partial(_mode_kernel, mode=m, quality=quality,
-                       nparts_k=nparts_k,
-                       plist_override=_plist, topk_override=_topk,
-                       shake_override=_shake, uber_override=_uber)
-        in_specs = [pl.BlockSpec((64, 1, sub, lane), lambda i: (0, i, 0, 0),
-                                 memory_space=pltpu.VMEM)]
-        inputs = [xt]
-        if nparts_k:
-            in_specs.append(pl.BlockSpec((nparts_k, 1, sub, lane),
-                                         lambda i: (0, i, 0, 0),
-                                         memory_space=pltpu.VMEM))
-            inputs.append(rows_k[0])
-        outs = pl.pallas_call(
-            kern,
-            grid=(grid_n,),
-            in_specs=in_specs,
-            out_specs=tuple(
-                pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM) for _ in range(5)),
-            out_shape=tuple(
-                [jax.ShapeDtypeStruct((grid_n, sub, lane), U32)] * 4
-                + [jax.ShapeDtypeStruct((grid_n, sub, lane), F32)]),
-            interpret=interpret,
-        )(*inputs)
+
+        def _run_mode(m=m):
+            if m.mode == 7 and (mode_mask & 0x80):
+                # widened q1 shortlist (kernels/bc7_full.py mirror): the
+                # estimator misranks 4-channel blocks; alpha content only
+                topk7 = (max(topk, 24) if quality > 0.75 and not _topk
+                         else topk)
+                rows_k = _top_rows(4, 2, plist_full, 4, topk7)
+            else:
+                rows_k = part_rows.get(m.mode)
+            nparts_k = rows_k[1] if rows_k is not None else 0
+            kern = partial(_mode_kernel, mode=m, quality=quality,
+                           nparts_k=nparts_k,
+                           plist_override=_plist, topk_override=_topk,
+                           shake_override=_shake, uber_override=_uber)
+            in_specs = [pl.BlockSpec((64, 1, sub, lane),
+                                     lambda i: (0, i, 0, 0),
+                                     memory_space=pltpu.VMEM)]
+            inputs = [xt]
+            if nparts_k:
+                in_specs.append(pl.BlockSpec((nparts_k, 1, sub, lane),
+                                             lambda i: (0, i, 0, 0),
+                                             memory_space=pltpu.VMEM))
+                inputs.append(rows_k[0])
+            return pl.pallas_call(
+                kern,
+                grid=(grid_n,),
+                in_specs=in_specs,
+                out_specs=tuple(
+                    pl.BlockSpec((1, sub, lane), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(5)),
+                out_shape=tuple(
+                    [jax.ShapeDtypeStruct((grid_n, sub, lane), U32)] * 4
+                    + [jax.ShapeDtypeStruct((grid_n, sub, lane), F32)]),
+                interpret=interpret,
+            )(*inputs)
+
+        maskable = m.mode in (6, 7) and (mode_mask & ~0xC0)
+        if maskable:
+            # runtime skip (VERDICT r4 item 1): when the COMBINED_ALPHA
+            # restrictions bar modes 6/7 for EVERY block in the batch —
+            # any fully-opaque, non-solid content under the driver's
+            # default colour_restrict, the reference's own pruning
+            # (bc7_body:1312-1380) — the whole kernel launch (and mode
+            # 7's estimation pass) is skipped via lax.cond. Bit-identical
+            # to running them: their errors were inf-masked anyway.
+            def _dummy():
+                z = jnp.zeros((grid_n, sub, lane), U32)
+                return (z, z, z, z,
+                        jnp.full((grid_n, sub, lane), 3.4e38, F32))
+
+            outs = jax.lax.cond(any_unbarred, _run_mode, _dummy)
+        else:
+            outs = _run_mode()
         err = outs[4].reshape(total)
-        if m.mode in (6, 7) and (mode_mask & ~0xC0):
+        if maskable:
             err = jnp.where(bar, jnp.float32(3.4e38), err)
         cols = [o.reshape(total) for o in outs[:4]]
         if best_err is None:

@@ -27,7 +27,13 @@ Notes on fidelity:
   (amd_bc7_body.cpp:606-630), which depends on PERFORMANCE only — it holds
   at every quality level (verified r3 for the q=0.3/0.6 matrix rows; the
   hpp ctor sets the threshold from m_performance, amd_bc7_body.hpp:116).
-  The trace path is therefore deliberately not implemented.
+  For the block API's performance<1 regime the trace path IS implemented
+  (``_opt_quant_trace``): the 640 MB trace tables are replaced by an exact
+  enumeration of the same clustering family (all monotone assignments of
+  sorted projections — 245,157 candidates at n=16/k=8, matching the
+  reference's MAX_TRACE=250,000 budget) scored by the identical joint
+  direction/assignment objective; measured by the bc7_full_p0.3 matrix
+  row.
 - The quality->budget mapping replicates the ctor exactly
   (amd_bc7_body.hpp:108-148; thresholds amd_bc7_body.cpp:258-262).
 - All math is float64, matching the reference's doubles.
@@ -240,6 +246,97 @@ def _opt_quant_and(data: np.ndarray, num_clusters: int):
     t = 0.0 if t == 0 else 1.0 / t
     out = mean[None, :] + direction[None, :] * (t * (index - s))[:, None]
     return float(((data - out) ** 2).sum()), index, out
+
+
+@lru_cache(maxsize=None)
+def _trace_codes(n: int, k: int):
+    """All monotone clusterings of n sorted entries into labels 0..k-1 —
+    the assignment family the reference's traceBuilder enumerates
+    (amd_bc7_3dquant_vpc.cpp:1557-1712): contiguous runs with strictly
+    increasing labels (labels may be skipped). The count matches the
+    reference's MAX_TRACE budget: n=16, k=8 gives 245,157 (< 250,000).
+
+    Returns (labels int8 (C,n), centered float32 (C,n),
+             inv_norm2 float32 (C,)); all-equal rows get inv 0.
+    """
+    import itertools
+    rows = []
+    for r in range(1, min(n, k) + 1):
+        for bounds in itertools.combinations(range(1, n), r - 1):
+            runs = np.diff(np.asarray((0,) + bounds + (n,)))
+            for labels in itertools.combinations(range(k), r):
+                rows.append(np.repeat(np.asarray(labels, np.int8), runs))
+    lab = np.stack(rows)
+    cen = lab.astype(np.float32)
+    cen -= cen.mean(axis=1, keepdims=True)
+    nrm2 = (cen * cen).sum(axis=1)
+    inv = np.where(nrm2 > 0, 1.0 / np.maximum(nrm2, 1e-20), 0.0)
+    return lab, cen, inv.astype(np.float32)
+
+
+def _quant_trace(ordered: np.ndarray, num_clusters: int) -> np.ndarray:
+    """quantTrace_d (amd_bc7_3dquant_vpc.cpp:1067-1199): over every
+    monotone clustering c of the (projection-)ordered centered data X,
+    maximize ||X^T c~||^2 / ||c~||^2 — the assignment and the implied
+    direction are optimized JOINTLY (the trace scan's incremental dpAcc
+    dot products compute exactly this score). Here the scan is a dense
+    matmul over the cached candidate table instead of the reference's
+    640 MB incremental trace arrays."""
+    n = len(ordered)
+    lab, cen, inv = _trace_codes(n, num_clusters)
+    p = cen @ ordered.astype(np.float32)                 # (C, dim)
+    score = (p * p).sum(axis=1) * inv
+    return lab[int(np.argmax(score))].astype(np.int64)
+
+
+def _opt_quant_trace(data: np.ndarray, num_clusters: int):
+    """optQuantTrace_d (amd_bc7_3dquant_vpc.cpp:1425-1554): globally
+    optimal monotone clustering + axis re-derivation loop (MAX_TRY),
+    terminating when the re-projected ordering is preserved. Same
+    interface as _opt_quant_and; selected by the reference when
+    clusters <= 8 and blockMaxRange > 255*performance
+    (amd_bc7_body.cpp:606-630)."""
+    n, dim = data.shape
+    mean = data.mean(axis=0)
+    centered = data - mean
+    cov = centered.T @ centered
+    if np.trace(cov) < 1.0 / 256.0 or n == 0:
+        index = np.zeros(n, np.int64)
+        out = np.tile(mean, (n, 1))
+        return float(((data - out) ** 2).sum()), index, out
+    direction = _eigen_dominant(cov)
+    projected = centered @ direction
+    order = None
+    index = None
+    for i in range(MAX_TRY):
+        if i:
+            direction = ordered.T @ index.astype(np.float64)
+            t = np.sqrt((direction * direction).sum()) * 1e-10
+            projected = centered @ direction
+            po = projected[order]
+            if not (po[1:] < po[:-1] - t).any():
+                break
+        order = np.argsort(projected, kind="stable")
+        ordered = centered[order]
+        index = _quant_trace(ordered, num_clusters)
+    s = index.sum() / n
+    t = (index * index).sum() - s * s * n
+    direction = ordered.T @ index.astype(np.float64)
+    t = 0.0 if t == 0 else 1.0 / t
+    out = np.empty_like(data)
+    out[order] = mean[None, :] + direction[None, :] * (t * (index - s))[:, None]
+    index_ = np.empty(n, np.int64)
+    index_[order] = index
+    return float(((data - out) ** 2).sum()), index_, out
+
+
+def _quantizer(clusters: int, block_max_range: float, bud: "_Budget"):
+    """Reference quantizer selection (amd_bc7_body.cpp:606-630): the trace
+    path serves high-range blocks when performance < 1 shrinks the AnD
+    threshold; unreachable at the image driver's performance=1.0."""
+    if clusters > 8 or block_max_range <= bud.quantizer_range_threshold:
+        return _opt_quant_and
+    return _opt_quant_trace
 
 
 def _index_collapse(index: np.ndarray) -> np.ndarray:
@@ -734,7 +831,8 @@ def _compress_single_index(in16: np.ndarray, mode: int, bud: _Budget,
             if len(pts) == 0:
                 per_subset.append(np.zeros(0, np.int64))
                 continue
-            e, idx, _ = _opt_quant_and(pts, clusters)
+            e, idx, _ = _quantizer(clusters, block_max_range, bud)(
+                pts, clusters)
             err += e
             per_subset.append(idx)
         stored.append((err, per_subset))
@@ -808,8 +906,12 @@ def _compress_dual_index(in16: np.ndarray, mode: int, bud: _Budget,
         for index_sel in range(1 << m.index_mode_bits):
             bits_v = [m.index_bits, m.index_bits2][index_sel]
             bits_s = [m.index_bits, m.index_bits2][1 ^ index_sel]
-            qe_v, idx_v, _ = _opt_quant_and(c_block, 1 << bits_v)
-            qe_s, idx_s, _ = _opt_quant_and(a_block, 1 << bits_s)
+            # dual path gates on range only (amd_bc7_body.cpp:1102-1150);
+            # index bits <= 3 here so clusters never exceed 8
+            qv = _quantizer(1 << bits_v, block_max_range, bud)
+            qs = _quantizer(1 << bits_s, block_max_range, bud)
+            qe_v, idx_v, _ = qv(c_block, 1 << bits_v)
+            qe_s, idx_s, _ = qs(a_block, 1 << bits_s)
             quant_err = qe_v + qe_s / 3.0
             if not (bud.quality > HIGH_THRESHOLD or quant_err <= best_quant):
                 continue

@@ -82,11 +82,13 @@ def test_performance_scales_search_effort():
     b = _gradient_blocks(16, seed=7)
     wf, ef = encode_bc7_blocks(b, quality=0.75, performance=1.0)
     wp, ep = encode_bc7_blocks(b, quality=0.75, performance=0.3)
-    # lower performance = smaller top-k partition budget. Per-block
-    # monotonicity is not guaranteed (the winner-only refinement can lift
-    # a different partition), but in aggregate the fuller search wins and
-    # the knob must change the output.
-    assert float(np.asarray(ef).sum()) <= float(np.asarray(ep).sum()) + 1e-3
+    # Reference semantics (r5 correction, measured on the bc7_full_p0.3
+    # matrix row): performance < 1 routes high-range blocks to the
+    # reference's OPTIMAL trace quantizer (amd_bc7_body.cpp:606-630), so
+    # lower performance RAISES quality; the fw buys parity with a higher
+    # budget tier + an extra top-k slot. The knob must change the output
+    # and must not lose quality in aggregate.
+    assert float(np.asarray(ep).sum()) <= float(np.asarray(ef).sum()) + 1e-3
     assert not np.array_equal(np.asarray(wf), np.asarray(wp))
 
 

@@ -36,6 +36,19 @@ def test_quality_gate_cheap_rows():
     _assert_rows(CHEAP)
 
 
+def test_quality_gate_cheap_rows_pallas():
+    """Same gate on the SHIPPING path — the fused Pallas kernels api.py
+    dispatches (interpret mode on CPU). Guards the Pallas quality matrix
+    against silent drift between manual regenerations (VERDICT r4 item 8);
+    full budgets, so a kernel edit that regresses quality fails here."""
+    results = run(only=CHEAP, pallas=True)
+    assert len(results) == len(CHEAP), [r["config"] for r in results]
+    for r in results:
+        assert r["delta_db"] >= TOL_DB, (
+            f"{r['config']} (pallas): fw {r['fw_psnr']} vs ref "
+            f"{r['ref_psnr']} (delta {r['delta_db']} dB)")
+
+
 @pytest.mark.slow
 def test_quality_gate_full_matrix():
     _assert_rows(CHEAP + HEAVY)
