@@ -89,6 +89,59 @@ def _estimate_partitions_vec(pts, subsets: int, plist, levels: int):
     return jnp.sum(d2 + (t - tr) ** 2, axis=-1)              # (N,P)
 
 
+def _estimate_partitions_pca(pts, subsets: int, plist, levels: int,
+                             iters: int = 4):
+    """Vectorized PCA-axis error estimate over the partition axis.
+
+    Same contract as :func:`_estimate_partitions_vec` but the projection
+    axis is a power-iterated principal eigenvector of the per-subset
+    covariance instead of the residual bounding box. The bounds axis is a
+    poor proxy on 4-channel alpha-gradient content — it misranks mode 7's
+    partitions badly enough that the true best often misses even a top-24
+    shortlist (r5 diag); the reference instead ranks all 64 partitions by
+    actual quantizer error (bc7_body:582-643). PCA ranking recovers that
+    ordering at a fraction of a full fit's cost.
+    """
+    ptab = partition_table(subsets)[np.asarray(plist)]      # (P,16)
+    onehot = np.zeros((len(plist), subsets, 16), np.float32)
+    for p in range(len(plist)):
+        for i in range(16):
+            onehot[p, ptab[p, i], i] = 1.0
+    oh = jnp.asarray(onehot)                                 # (P,S,16)
+    cnt = jnp.maximum(oh.sum(-1), 1.0)                       # (P,S)
+    mean = jnp.einsum("psi,nic->npsc", oh, pts) / cnt[None, :, :, None]
+    mean_px = jnp.einsum("psi,npsc->npic", oh, mean)         # (N,P,16,C)
+    r = pts[:, None] - mean_px                               # (N,P,16,C)
+    # per-subset covariance: mask residuals per subset, accumulate outer
+    # products over pixels -> (N,P,S,C,C)
+    r_s = r[:, :, None] * oh[None, :, :, :, None]            # (N,P,S,16,C)
+    cov = jnp.einsum("npsic,npsid->npscd", r_s, r_s)
+    v = jnp.ones(cov.shape[:-1], F32)                        # (N,P,S,C)
+    for _ in range(iters):
+        nv = jnp.einsum("npscd,npsd->npsc", cov, v)
+        n = jnp.linalg.norm(nv, axis=-1, keepdims=True)
+        v = jnp.where(n > 1e-8, nv / jnp.maximum(n, 1e-8), v)
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    axis = v / jnp.maximum(n, 1e-8)
+    axis_px = jnp.einsum("psi,npsc->npic", oh, axis)
+    t = jnp.sum(r * axis_px, axis=-1)                        # (N,P,16)
+    big = jnp.float32(1e30)
+    tmin_l, tmax_l = [], []
+    for s in range(subsets):
+        msk = oh[None, :, s, :] > 0                          # (1,P,16)
+        tmin_l.append(jnp.min(jnp.where(msk, t, big), axis=2))   # (N,P)
+        tmax_l.append(jnp.max(jnp.where(msk, t, -big), axis=2))
+    tmin = jnp.stack(tmin_l, axis=2)                         # (N,P,S)
+    tmax = jnp.stack(tmax_l, axis=2)
+    span = jnp.maximum(tmax - tmin, 1e-6)
+    tmin_px = jnp.einsum("psi,nps->npi", oh, tmin)
+    span_px = jnp.einsum("psi,nps->npi", oh, span)
+    tq = jnp.round((t - tmin_px) / span_px * (levels - 1))
+    tr = tq / (levels - 1) * span_px + tmin_px
+    d2 = jnp.sum(r * r, axis=-1) - t * t                     # off-axis
+    return jnp.sum(d2 + (t - tr) ** 2, axis=-1)              # (N,P)
+
+
 def _pbit_combos(mode):
     if mode.pbit_mode == "per_endpoint":
         return ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -862,9 +915,11 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
 
     # ---- shared partition estimation: one vectorized pass per
     # (subsets, channels) group, reused by every mode in the group
-    def _top_parts(p, subsets, pl, levels, k):
+    def _top_parts(p, subsets, pl, levels, k, estimator="bounds"):
         from .common import map_ids as _map_ids
-        est = _estimate_partitions_vec(p, subsets, pl, levels)
+        fn = (_estimate_partitions_pca if estimator == "pca"
+              else _estimate_partitions_vec)
+        est = fn(p, subsets, pl, levels)
         k = min(k, len(pl))
         _, top = jax.lax.top_k(-est, k)
         return _map_ids(top, pl)                             # (N,K)
@@ -873,15 +928,16 @@ def encode_bc7_blocks(blocks: jnp.ndarray, *, quality: float = 1.0,
     if mode_mask & 0x0A:                                     # modes 1, 3
         cand[1] = cand[3] = _top_parts(pts[..., :3], 2, plist, 8, topk)
     if mode_mask & 0x80:                                     # mode 7
-        # widened shortlist at max quality: the bounds-axis estimator
-        # misranks 4-channel alpha-gradient blocks badly enough that the
-        # true best partition often misses a top-8 (r5 per-mode diag:
-        # mode 7 carried the WHOLE bc7_full_alpha deficit, +16.7k SSE on
-        # 143 ref-mode-7 blocks of 512); the reference ranks all 64 by
-        # exact quantizer error (bc7_body:582-643). Alpha-only cost: the
+        # PCA-ranked shortlist: the bounds-axis estimator misranks
+        # 4-channel alpha-gradient blocks badly enough that the true best
+        # partition often missed even a top-24 (r5 per-mode diag: mode 7
+        # carried the WHOLE bc7_full_alpha deficit); the reference ranks
+        # all 64 by exact quantizer error (bc7_body:582-643). A PCA axis
+        # holds the reference winner in the top-8 ~99% of the time
+        # (scripts/diag_mode7_rank.py) at a fraction of a full fit's
+        # cost, so the x24 widening is gone. Alpha-only cost: the
         # all-opaque runtime skip means opaque content never runs mode 7.
-        topk7 = max(topk, 24) if q_eff > 0.75 else topk
-        cand[7] = _top_parts(pts, 2, plist, 4, topk7)
+        cand[7] = _top_parts(pts, 2, plist, 4, topk, estimator="pca")
     if mode_mask & 0x04:                                     # mode 2
         cand[2] = _top_parts(pts[..., :3], 3, plist, 4, topk)
     if mode_mask & 0x01:                                     # mode 0

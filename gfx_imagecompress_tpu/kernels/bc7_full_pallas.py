@@ -101,6 +101,66 @@ def _estimate(xs, plist, subsets: int, levels: int):
     return ests
 
 
+def _estimate_pca(xs, plist, subsets: int, levels: int, iters: int = 4):
+    """PCA-axis estimate per partition (masks static per pixel row).
+
+    Same contract as :func:`_estimate` but projects onto a power-iterated
+    principal eigenvector of the per-subset covariance instead of the
+    residual bounding box. Used for mode 7: on 4-channel alpha-gradient
+    content the bounds axis misranks partitions badly enough that the
+    reference's winner often missed even a top-24 shortlist, while PCA
+    ranking holds it in the top-8 ~99% of the time (measured,
+    scripts/diag_mode7_rank.py; the reference ranks all 64 partitions by
+    actual quantizer error, bc7_body:582-643)."""
+    table = P2 if subsets == 2 else P3
+    nc = len(xs)
+    ests = []
+    for pid in plist:
+        subs = _subset_rows(table[pid], subsets)
+        est = None
+        for s in range(subsets):
+            rows = [p for p in range(16) if subs[p] == s]
+            if not rows:
+                continue
+            cnt = float(len(rows))
+            mean = [sum(x[p:p + 1] for p in rows) / cnt for x in xs]
+            cen = [[x[p:p + 1] - mean[c] for p in rows]
+                   for c, x in enumerate(xs)]
+            cov = {}
+            for a in range(nc):
+                for b in range(a, nc):
+                    cov[(a, b)] = sum(cen[a][i] * cen[b][i]
+                                      for i in range(len(rows)))
+
+            def cv(a, b):
+                return cov[(a, b)] if a <= b else cov[(b, a)]
+
+            v = [jnp.ones_like(mean[0]) for _ in range(nc)]
+            for _ in range(iters):
+                nv = [sum(cv(a, b) * v[b] for b in range(nc))
+                      for a in range(nc)]
+                n = jnp.sqrt(sum(x * x for x in nv))
+                ok = n > 1e-8
+                inv = 1.0 / jnp.maximum(n, 1e-8)
+                v = [jnp.where(ok, a * inv, b) for a, b in zip(nv, v)]
+            axis = v
+            ts = [sum(cen[c][i] * axis[c] for c in range(nc))
+                  for i in range(len(rows))]
+            tmin = tmax = ts[0]
+            for t in ts[1:]:
+                tmin = jnp.minimum(tmin, t)
+                tmax = jnp.maximum(tmax, t)
+            span = jnp.maximum(tmax - tmin, 1e-6)
+            for i, t in enumerate(ts):
+                tq = jnp.round((t - tmin) / span * (levels - 1))
+                tr = tq * (1.0 / (levels - 1)) * span + tmin
+                d2 = sum(cen[c][i] * cen[c][i] for c in range(nc)) - t * t
+                add = d2 + (t - tr) ** 2
+                est = add if est is None else est + add
+        ests.append(est)
+    return ests
+
+
 def _topk(ests, plist, k):
     ids = []
     big = jnp.float32(3.4e38)
@@ -902,7 +962,8 @@ def _pack_dual(mode, st):
 
 
 # ---------------------------------------------------------------- kernel ---
-def _est_kernel(x_ref, out_ref, *, chans, subsets, plist, levels, k):
+def _est_kernel(x_ref, out_ref, *, chans, subsets, plist, levels, k,
+                estimator="bounds"):
     """Partition estimate + top-k as a Pallas kernel.
 
     The XLA-side ``_estimate_partitions_vec`` materializes (N,P,16,C)
@@ -911,18 +972,20 @@ def _est_kernel(x_ref, out_ref, *, chans, subsets, plist, levels, k):
     <0.5 ms in-kernel); here the sweep stays in VMEM rows."""
     xs = [x_ref[16 * c:16 * (c + 1), 0].astype(F32) * 255.0
           for c in range(chans)]
-    ests = _estimate(xs, plist, subsets, levels)
+    fn = _estimate_pca if estimator == "pca" else _estimate
+    ests = fn(xs, plist, subsets, levels)
     ids = _topk(ests, plist, k)
     for i, r in enumerate(ids):
         out_ref[i:i + 1, 0] = r
 
 
 def _estimate_topk_rows(xt, grid_n, sub, lane, chans, subsets, plist,
-                        levels, k, interpret):
+                        levels, k, interpret, estimator="bounds"):
     """-> ((K, grid_n, sub, lane) int32 partition-id rows, K)."""
     k = min(k, len(plist))
     kern = partial(_est_kernel, chans=chans, subsets=subsets,
-                   plist=tuple(plist), levels=levels, k=k)
+                   plist=tuple(plist), levels=levels, k=k,
+                   estimator=estimator)
     out = pl.pallas_call(
         kern,
         grid=(grid_n,),
@@ -1054,9 +1117,9 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
         # barred runtime skip below; their outputs are trimmed anyway
         bar = bar.at[n:].set(True)
 
-    def _top_rows(chans, subsets, plist, levels, k):
+    def _top_rows(chans, subsets, plist, levels, k, estimator="bounds"):
         return _estimate_topk_rows(xt, grid_n, sub, lane, chans, subsets,
-                                   plist, levels, k, interpret)
+                                   plist, levels, k, interpret, estimator)
 
     plist_full = _plist or tuple(range(nparts))
     plist16 = _plist or tuple(range(min(nparts, 16)))
@@ -1089,11 +1152,13 @@ def encode_bc7_blocks_pallas(blocks: jnp.ndarray, *, quality: float = 1.0,
 
         def _run_mode(m=m):
             if m.mode == 7 and (mode_mask & 0x80):
-                # widened q1 shortlist (kernels/bc7_full.py mirror): the
-                # estimator misranks 4-channel blocks; alpha content only
-                topk7 = (max(topk, 24) if quality > 0.75 and not _topk
-                         else topk)
-                rows_k = _top_rows(4, 2, plist_full, 4, topk7)
+                # PCA-ranked shortlist (kernels/bc7_full.py mirror): the
+                # bounds estimator misranks 4-channel blocks — PCA holds
+                # the reference winner in the top-8 ~99% of the time
+                # (scripts/diag_mode7_rank.py), so no x24 widening needed;
+                # alpha content only (opaque batches skip this leg)
+                rows_k = _top_rows(4, 2, plist_full, 4, topk,
+                                   estimator="pca")
             else:
                 rows_k = part_rows.get(m.mode)
             nparts_k = rows_k[1] if rows_k is not None else 0
